@@ -1,0 +1,22 @@
+"""Test harness: force an 8-device virtual CPU mesh.
+
+SURVEY §4 "Implication for the new framework": multi-device behavior is
+exercised on CPU via ``xla_force_host_platform_device_count`` — the TPU
+analogue of a fake backend. Must run before jax initialises its backends.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# The axon TPU plugin ignores JAX_PLATFORMS; force CPU via the config too
+# (must happen before any backend is initialised).
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
