@@ -1,0 +1,9 @@
+from .base import BaseDataset, Item, Transform, pixel_decode, pixel_encode
+from .datasets import (
+    ConcatDataset,
+    ImageFolderDataset,
+    ImageNetDataset,
+    SplitDataset,
+    SyntheticDataset,
+)
+from .loader import Batch, DataLoader
