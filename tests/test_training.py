@@ -1,0 +1,213 @@
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from vector_quantization_tpu.algorithms.base import ReconstructionAlgorithm
+from vector_quantization_tpu.data import DataLoader, SyntheticDataset
+from vector_quantization_tpu.parallel import (
+    DataParallelStrategy,
+    FSDPStrategy,
+    make_mesh,
+)
+from vector_quantization_tpu.training import Trainer, Validator
+from vector_quantization_tpu.training.callbacks import (
+    CheckpointCallback,
+    LogCallback,
+)
+
+MODEL_CFG = {
+    "type": "AutoencoderModel",
+    "encoder": {
+        "type": "VQGANEncoder",
+        "width": 32,
+        "width_mults": (1, 2),
+        "depth_mult": 1,
+        "out_channels": 8,
+    },
+    "quantizer": {"type": "FiniteScalarQuantizer", "levels": (8, 5, 5)},
+    "post_encode": {"type": "ConvConnector", "out_channels": 3},
+    "decoder": {
+        "type": "VQGANDecoder",
+        "width": 32,
+        "width_mults": (2, 1),
+        "depth_mult": 1,
+        "in_channels": 8,
+        "attention_layer": None,
+        "refine_layer": None,
+    },
+    "pre_decode": {"type": "ConvConnector", "out_channels": 8},
+}
+
+VQ_MODEL_CFG = {
+    **MODEL_CFG,
+    "quantizer": {
+        "type": "VectorQuantizer",
+        "codebook_size": 64,
+        "embedding_dim": 16,
+        "losses": {"vqgan": {"beta": 0.25}},
+    },
+    "post_encode": {"type": "ConvConnector", "out_channels": 16},
+}
+
+
+def _trainer(tmp_path, model_cfg=MODEL_CFG, strategy_cls=DataParallelStrategy,
+             max_iters=4, callbacks=(), **algo_kw):
+    ds = SyntheticDataset(size=16, image_size=32)
+    dl = DataLoader(ds, batch_size=8, num_workers=0)
+    algo = ReconstructionAlgorithm(
+        model=model_cfg,
+        optimizer={"type": "adam", "lr": 1e-3},
+        **algo_kw,
+    )
+    mesh = make_mesh({"dp": -1})
+    return Trainer(
+        name="t",
+        algorithm=algo,
+        dataloader=dl,
+        strategy=strategy_cls(mesh),
+        work_dir=str(tmp_path / "work"),
+        max_iters=max_iters,
+        callbacks=list(callbacks),
+    )
+
+
+class TestTrainer:
+    def test_fsq_dp_training_runs(self, tmp_path):
+        tr = _trainer(tmp_path, callbacks=[LogCallback(interval=1)])
+        state = tr.run()
+        assert int(state.step) == 4
+        # loss finite
+        assert np.isfinite(
+            float(
+                jax.tree_util.tree_reduce(
+                    lambda a, b: a + np.abs(np.asarray(b)).sum(),
+                    state.params,
+                    0.0,
+                )
+            )
+        )
+
+    def test_vq_fsdp_training_runs(self, tmp_path):
+        mesh = make_mesh({"dp": 2, "fsdp": 4})
+        ds = SyntheticDataset(size=16, image_size=32)
+        dl = DataLoader(ds, batch_size=8, num_workers=0)
+        algo = ReconstructionAlgorithm(
+            model=VQ_MODEL_CFG, optimizer={"type": "adam", "lr": 1e-3}
+        )
+        tr = Trainer(
+            name="t",
+            algorithm=algo,
+            dataloader=dl,
+            strategy=FSDPStrategy(mesh, min_size=256),
+            work_dir=str(tmp_path / "w"),
+            max_iters=2,
+        )
+        state = tr.run()
+        assert int(state.step) == 2
+        # at least one param is actually sharded over fsdp
+        shardings = jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(lambda x: x.sharding.spec, state.params)
+        )
+        assert any(s for s in shardings)
+
+    def test_checkpoint_resume(self, tmp_path):
+        tr = _trainer(
+            tmp_path, max_iters=3, callbacks=[CheckpointCallback(interval=2)]
+        )
+        state = tr.run()
+        ckpts = os.listdir(os.path.join(tr.work_dir, "checkpoints"))
+        assert "iter_2" in ckpts and "iter_3" in ckpts
+
+        tr2 = _trainer(tmp_path, max_iters=5)
+        tr2.init_state()
+        assert tr2.resume(auto=True)
+        assert int(tr2.state.step) == 3
+        state2 = tr2.run()
+        assert int(state2.step) == 5
+
+    def test_load_model_from_merges_params(self, tmp_path):
+        tr = _trainer(
+            tmp_path, max_iters=2, callbacks=[CheckpointCallback(interval=2)]
+        )
+        state = tr.run()
+        tr2 = _trainer(tmp_path, max_iters=2)
+        tr2.init_state()
+        before = np.asarray(
+            jax.tree_util.tree_leaves(tr2.state.params)[0]
+        ).copy()
+        tr2.load_model_from(
+            os.path.join(tr.work_dir, "checkpoints", "iter_2")
+        )
+        after = np.asarray(jax.tree_util.tree_leaves(tr2.state.params)[0])
+        expected = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+        np.testing.assert_allclose(after, expected)
+
+
+class TestCodebookUpdates:
+    def test_cvq_update_in_training(self, tmp_path):
+        tr = _trainer(
+            tmp_path,
+            model_cfg=VQ_MODEL_CFG,
+            max_iters=3,
+            codebook_update={
+                "type": "cvq",
+                "ema_decay": 0.9,
+                "anchor": "nearest",
+            },
+        )
+        state = tr.run()
+        assert "probability" in state.extra
+        assert float(np.asarray(state.extra["probability"]).sum()) > 0
+
+    def test_kmeans_update_with_frozen_codebook(self, tmp_path):
+        tr = _trainer(
+            tmp_path,
+            model_cfg=VQ_MODEL_CFG,
+            max_iters=3,
+            codebook_update={"type": "kmeans", "decay": 0.5},
+            lazy_kmeans_init={"iters": 3},
+        )
+        tr.algorithm.optimizer_cfg["exclude"] = "codebook"
+        state = tr.run()
+        assert bool(np.asarray(state.extra["initialized"]))
+        cb = np.asarray(state.params["quantizer"]["codebook"])
+        # kmeans update keeps codebook on the unit sphere
+        np.testing.assert_allclose(
+            np.linalg.norm(cb, axis=-1), 1.0, rtol=1e-3
+        )
+
+
+class TestValidator:
+    def test_validator_metrics(self, tmp_path):
+        ds = SyntheticDataset(size=16, image_size=32)
+        dl = DataLoader(ds, batch_size=8, num_workers=0)
+        algo = ReconstructionAlgorithm(
+            model=VQ_MODEL_CFG, optimizer={"type": "adam", "lr": 1e-3}
+        )
+        mesh = make_mesh({"dp": -1})
+        va = Validator(
+            name="v",
+            algorithm=algo,
+            dataloader=dl,
+            strategy=DataParallelStrategy(mesh),
+            work_dir=str(tmp_path / "w"),
+            metrics={
+                "codebook_usage": {
+                    "type": "CodebookUsageMetric",
+                    "codebook_size": 64,
+                },
+                "codebook_ppl": {
+                    "type": "CodebookPPLMetric",
+                    "codebook_size": 64,
+                },
+                "psnr": {"type": "ImageLossMetric", "kind": "psnr"},
+                "ssim": {"type": "ImageLossMetric", "kind": "ssim"},
+            },
+        )
+        results = va.run()
+        assert 0 < results["codebook_usage"] <= 1
+        assert results["codebook_ppl"] >= 0
+        assert np.isfinite(results["psnr"])
+        assert -1 <= results["ssim"] <= 1

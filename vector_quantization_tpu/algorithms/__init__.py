@@ -1,0 +1,11 @@
+"""Algorithm plugins (reference ``vq/algorithms/``, SURVEY §2.6).
+
+Like the reference, algorithm packages self-register into the registry tree
+on import; configs name them via ``custom_imports``. Importing this package
+pulls in every built-in algorithm.
+"""
+
+from .. import tasks as _tasks  # registers task models (reference custom_imports)
+from . import base  # ReconstructionAlgorithm (FSQ / VQ-KD / CVQ / Cluster)
+
+__all__ = ["base"]

@@ -1,0 +1,87 @@
+"""Device mesh + distributed runtime initialisation.
+
+TPU-native replacement for the reference's torchrun/NCCL process groups
+(SURVEY §2.1 ``auto_torchrun``, §5 communication backend): one
+``jax.sharding.Mesh`` over all devices; data parallelism is the ``dp`` axis,
+ZeRO-style parameter sharding the ``fsdp`` axis, tensor parallelism ``tp``.
+Multi-host launches call :func:`init_distributed` once per host
+(``jax.distributed.initialize``), then every host builds the same global mesh.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Mapping, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = [
+    "init_distributed",
+    "make_mesh",
+    "process_index",
+    "process_count",
+    "replicated",
+    "P",
+]
+
+
+def init_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Initialise multi-host JAX (no-op single-host). Reads the standard env
+    (JAX_COORDINATOR_ADDRESS etc.) when args are None — the multi-host launch
+    story replacing ``auto_torchrun`` (reference docs/training.md:14)."""
+    if num_processes is None:
+        num_processes = int(os.environ.get("JAX_NUM_PROCESSES", "1"))
+    if num_processes <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def process_index() -> int:
+    return jax.process_index()
+
+
+def process_count() -> int:
+    return jax.process_count()
+
+
+def make_mesh(
+    axes: Mapping[str, int] | None = None,
+    *,
+    devices: Sequence[jax.Device] | None = None,
+) -> Mesh:
+    """Build a mesh. ``axes`` maps axis name → size; a single -1 axis absorbs
+    the remaining devices. Default: pure data parallelism over all devices.
+
+    Examples: ``{"dp": -1}``; ``{"dp": -1, "tp": 4}``;
+    ``{"dp": 2, "fsdp": 4}``.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if axes is None:
+        axes = {"dp": n}
+    names = list(axes)
+    sizes = [axes[k] for k in names]
+    n_fixed = int(np.prod([s for s in sizes if s != -1])) or 1
+    if any(s == -1 for s in sizes):
+        if n % n_fixed:
+            raise ValueError(f"{n} devices not divisible by {n_fixed}")
+        sizes = [n // n_fixed if s == -1 else s for s in sizes]
+    if int(np.prod(sizes)) != n:
+        raise ValueError(f"mesh {dict(zip(names, sizes))} != {n} devices")
+    dev_array = np.asarray(devices).reshape(sizes)
+    return Mesh(dev_array, names)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

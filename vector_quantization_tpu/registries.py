@@ -16,6 +16,7 @@ DatasetRegistry = VQRegistry.child("datasets")
 ModelRegistry = VQRegistry.child("models")
 RunnerRegistry = VQRegistry.child("runners")
 TaskRegistry = VQRegistry.child("tasks")
+AlgorithmRegistry = VQRegistry.child("algorithms")
 
 # model sub-registries (reference: VQEncoderRegistry / VQDecoderRegistry /
 # VQLossRegistry / VQQuantizerRegistry / VQConnectorRegistry / ...)

@@ -1,0 +1,119 @@
+"""Validation metrics — accumulate per-batch, reduce at summary.
+
+Behavioral reference:
+- ``CodebookUsageMetric`` / ``CodebookPPLMetric``
+  (``vq/tasks/image_tokenization/runners/metrics.py:25-73``): accumulate a
+  global code histogram over the val run; usage = fraction of codes hit,
+  PPL = entropy (nats) of the usage distribution. The reference all-reduces
+  counts across ranks; here eval memos hold *global* arrays (pjit), so the
+  host-side accumulation is already global.
+- ``ImageLossMetric`` (``vq/runners/metrics/loss.py:22-41``): pixel metrics
+  on decoded [0,1] images.
+- ``LossMetric``: mean of a scalar memo entry (todd ``LossMetric``).
+- FID lives in :mod:`..models.metrics.fid` (needs the Inception port).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import numpy as np
+
+from ..data.base import pixel_decode
+from ..registries import MetricRegistry
+
+__all__ = [
+    "BaseMetric",
+    "CodebookUsageMetric",
+    "CodebookPPLMetric",
+    "ImageLossMetric",
+    "LossMetric",
+]
+
+
+class BaseMetric:
+    def __init__(self, *, dataset: Any = None, **kwargs: Any) -> None:
+        self.dataset = dataset
+
+    def update(self, memo: Mapping[str, Any]) -> None:
+        raise NotImplementedError
+
+    def summary(self, name: str) -> dict[str, float]:
+        raise NotImplementedError
+
+
+class _CodebookMixin(BaseMetric):
+    def __init__(self, *, codebook_size: int, quant: str = "codes", **kw) -> None:
+        super().__init__(**kw)
+        self.codebook_size = codebook_size
+        self.quant = quant
+        self.counts = np.zeros(codebook_size, np.int64)
+
+    def update(self, memo: Mapping[str, Any]) -> None:
+        codes = np.asarray(memo[self.quant]).reshape(-1)
+        self.counts += np.bincount(codes, minlength=self.codebook_size)
+
+
+@MetricRegistry.register()
+class CodebookUsageMetric(_CodebookMixin):
+    def summary(self, name: str) -> dict[str, float]:
+        return {name: float((self.counts > 0).sum() / self.codebook_size)}
+
+
+@MetricRegistry.register()
+class CodebookPPLMetric(_CodebookMixin):
+    def summary(self, name: str) -> dict[str, float]:
+        total = self.counts.sum()
+        if total == 0:
+            return {name: 0.0}
+        p = self.counts / total
+        p = p[p > 0]
+        return {name: float(-(p * np.log(p)).sum())}
+
+
+@MetricRegistry.register()
+class ImageLossMetric(BaseMetric):
+    """PSNR/SSIM/L1/MSE between decoded pred and original images, averaged
+    per-sample over the run (reference ImageLossMetric on [0,1] images)."""
+
+    def __init__(self, *, kind: str, pred: str = "pred", **kw) -> None:
+        super().__init__(**kw)
+        self.kind = kind
+        self.pred = pred
+        self.values: list[float] = []
+
+    def update(self, memo: Mapping[str, Any]) -> None:
+        from ..models.losses.recon import psnr as psnr_fn, ssim as ssim_fn
+
+        pred01 = np.asarray(pixel_decode(memo[self.pred])).astype(np.float32) / 255.0
+        gt01 = (
+            np.asarray(memo["batch"]["original_image"]).astype(np.float32)
+            / 255.0
+        )
+        if self.kind == "l1":
+            self.values.append(float(np.abs(pred01 - gt01).mean()))
+        elif self.kind == "mse":
+            self.values.append(float(((pred01 - gt01) ** 2).mean()))
+        elif self.kind == "psnr":
+            self.values.append(float(psnr_fn(pred01, gt01)))
+        elif self.kind == "ssim":
+            self.values.append(float(ssim_fn(pred01, gt01)))
+        else:
+            raise ValueError(self.kind)
+
+    def summary(self, name: str) -> dict[str, float]:
+        return {name: float(np.mean(self.values)) if self.values else 0.0}
+
+
+@MetricRegistry.register()
+class LossMetric(BaseMetric):
+    def __init__(self, *, key: str, **kw) -> None:
+        super().__init__(**kw)
+        self.key = key
+        self.values: list[float] = []
+
+    def update(self, memo: Mapping[str, Any]) -> None:
+        self.values.append(float(np.asarray(memo[self.key])))
+
+    def summary(self, name: str) -> dict[str, float]:
+        return {name: float(np.mean(self.values)) if self.values else 0.0}
