@@ -7,5 +7,6 @@ pulls in every built-in algorithm.
 
 from .. import tasks as _tasks  # registers task models (reference custom_imports)
 from . import base  # ReconstructionAlgorithm (FSQ / VQ-KD / CVQ / Cluster)
+from . import vqgan  # VQGANAlgorithm (GAN-trained tokenizer)
 
-__all__ = ["base"]
+__all__ = ["base", "vqgan"]

@@ -1,0 +1,319 @@
+"""VQGAN — GAN-trained tokenizer (Esser et al.), two-optimizer train step.
+
+Behavioral reference:
+- model/losses: ``vq/algorithms/vqgan/model.py:141-292`` — generation loss =
+  q_loss + r_loss + g_loss·aglw with the adaptive generator-loss weight
+  aglw = ‖∇_last r‖ / (‖∇_last g‖ + 1e-4), clamped to [0, 1e4], × gain
+  (default 0.8), where 'last' is the decoder's final projector kernel;
+  discrimination loss = hinge(fake, real) + optional R1.
+- trainer: ``vq/algorithms/vqgan/trainer.py:89-143`` — each iteration runs a
+  generation pass (generator Adam) then a discrimination pass (discriminator
+  Adam), gated by ``generator_start``/``discriminator_start`` warmups.
+
+TPU-native re-design: instead of flipping ``requires_grad`` on a shared
+module, the params pytree is split {generator, discriminator} and each phase
+differentiates only its own subtree; both phases + both optimizer updates and
+the warmup gates (``lax.cond``) live in ONE jitted train step. The aglw
+double-grad is two ``jax.grad`` calls wrt only the last decoder kernel
+(cheap: one decoder+discriminator backward each).
+
+Deviation note: discriminator BatchNorm running stats update only in the
+discrimination phase (the reference also updates them during the generator's
+fake pass); hinge-GAN training is insensitive to this.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.discriminators.patchgan import PatchGANDiscriminator  # noqa: F401 (register)
+from ..models.losses.gan import (
+    hinge_d_loss,
+    non_saturating_g_loss,
+    r1_gradient_penalty,
+    vanilla_g_loss,
+)
+from ..registries import AlgorithmRegistry, DiscriminatorRegistry
+from ..training.optim import build_optimizer
+from ..training.state import TrainState
+from .base import RECON_LOSSES, ReconstructionAlgorithm, _tree_get, _tree_set
+
+__all__ = ["VQGANAlgorithm"]
+
+G_LOSSES = {"vanilla": vanilla_g_loss, "non_saturating": non_saturating_g_loss}
+
+
+@AlgorithmRegistry.register()
+class VQGANAlgorithm(ReconstructionAlgorithm):
+    codebook_path = ("generator", "quantizer", "codebook")
+
+    def __init__(
+        self,
+        *,
+        discriminator: Mapping[str, Any] | Any,
+        d_optimizer: Mapping[str, Any] | None = None,
+        generator_start: int = 0,
+        discriminator_start: int = 0,
+        generator_loss: str = "vanilla",
+        aglw_gain: float | None = 0.8,
+        r1_weight: float | None = None,
+        **kwargs: Any,
+    ) -> None:
+        super().__init__(**kwargs)
+        self.discriminator = DiscriminatorRegistry.build_or_return(
+            discriminator
+        )
+        self.d_optimizer_cfg = dict(d_optimizer or self.optimizer_cfg)
+        self._d_tx = None
+        assert min(generator_start, discriminator_start) == 0
+        self.g_start = generator_start
+        self.d_start = discriminator_start
+        self.g_loss_fn = G_LOSSES[generator_loss]
+        self.aglw_gain = aglw_gain
+        self.r1_weight = r1_weight
+        self._last_path = ("generator", "decoder") + type(
+            self.model.decoder
+        ).last_parameter_path()
+
+    # -- setup -------------------------------------------------------------
+
+    def d_tx(self, d_params) -> optax.GradientTransformation:
+        if self._d_tx is None:
+            self._d_tx = build_optimizer(self.d_optimizer_cfg, d_params)
+        return self._d_tx
+
+    def init_state(self, rng: jax.Array, batch) -> TrainState:
+        rng, g_rng, d_rng = jax.random.split(rng, 3)
+        image = batch["image"]
+        g_vars = self.model.init(g_rng, image)
+        d_vars = self.discriminator.init(d_rng, image, train=False)
+        params = {
+            "generator": g_vars["params"],
+            "discriminator": d_vars["params"],
+        }
+        tx = self.tx(params["generator"])
+        d_tx = self.d_tx(params["discriminator"])
+        extra = self.init_extra(params)
+        extra["d_batch_stats"] = d_vars.get("batch_stats", {})
+        return TrainState.create(
+            params=params,
+            opt_state=tx.init(params["generator"]),
+            d_opt_state=d_tx.init(params["discriminator"]),
+            rng=rng,
+            extra=extra,
+        )
+
+    # -- pieces ------------------------------------------------------------
+
+    def _disc_apply(self, d_params, d_stats, x, train: bool):
+        variables = {"params": d_params, "batch_stats": d_stats}
+        if train:
+            logits, updates = self.discriminator.apply(
+                variables, x, train=True, mutable=["batch_stats"]
+            )
+            return logits, updates["batch_stats"]
+        return self.discriminator.apply(variables, x, train=False), d_stats
+
+    def _r_loss(self, pred, image):
+        losses = {
+            f"loss_{name}": RECON_LOSSES[name](pred, image, **cfg)
+            for name, cfg in self.recon_losses.items()
+        }
+        return sum(losses.values(), jnp.zeros((), jnp.float32)), losses
+
+    def _aglw(self, g_params, d_params, d_stats, z, image):
+        """‖∇_last r‖/‖∇_last g‖ via two grads wrt the final decoder kernel
+        (reference model.py:141-163)."""
+        if self.aglw_gain is None:
+            return jnp.ones((), jnp.float32)
+        z = jax.lax.stop_gradient(z)
+        last = _tree_get({"generator": g_params}, self._last_path)
+
+        def decode_with(kernel):
+            g2 = _tree_set({"generator": g_params}, self._last_path, kernel)[
+                "generator"
+            ]
+            pred = self.model.apply(
+                {"params": g2}, z, method=self.model.decode
+            )
+            r, _ = self._r_loss(pred, image)
+            logits, _ = self._disc_apply(d_params, d_stats, pred, train=False)
+            g = self.g_loss_fn(logits)
+            return r, g
+
+        r_grad = jax.grad(lambda k: decode_with(k)[0])(last)
+        g_grad = jax.grad(lambda k: decode_with(k)[1])(last)
+        aglw = jnp.linalg.norm(r_grad.reshape(-1)) / (
+            jnp.linalg.norm(g_grad.reshape(-1)) + 1e-4
+        )
+        aglw = jnp.clip(aglw, 0.0, 1e4)
+        return jax.lax.stop_gradient(aglw) * self.aglw_gain
+
+    # -- train step --------------------------------------------------------
+
+    def train_step(self, state: TrainState, batch):
+        state, rng = state.next_rng()
+        image = batch["image"]
+        params = state.params
+        extra = dict(state.extra)
+        d_stats = extra["d_batch_stats"]
+        step = state.step
+        with_g = step >= self.g_start
+        with_d = step >= self.d_start
+
+        d_params = params["discriminator"]
+
+        # ---- generation phase (reference mode='generation') ----
+        aglw = jax.lax.cond(
+            with_d,
+            lambda gp: self._run_aglw_probe(gp, d_params, d_stats, image),
+            lambda gp: jnp.ones((), jnp.float32) * (self.aglw_gain or 1.0),
+            params["generator"],
+        )
+
+        def g_loss_fn(g_params):
+            out = self.model.apply(
+                {"params": g_params}, image, train=True, rngs={"dropout": rng}
+            )
+            pred = out["pred"]
+            q_loss = out["quantizer"].loss
+            r_loss, r_losses = self._r_loss(pred, image)
+
+            def with_gan(pred):
+                logits, _ = self._disc_apply(
+                    d_params, d_stats, pred, train=False
+                )
+                return self.g_loss_fn(logits)
+
+            g_loss = jax.lax.cond(
+                with_d, with_gan, lambda pred: jnp.zeros(()), pred
+            )
+            total = q_loss + r_loss + g_loss * aglw
+            metrics = {
+                "q_loss": q_loss,
+                "r_loss": r_loss,
+                "g_loss": g_loss,
+                "aglw": aglw,
+                **r_losses,
+                **out["quantizer"].losses,
+            }
+            return total, (out, metrics)
+
+        (g_total, (out, g_metrics)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True
+        )(params["generator"])
+
+        tx = self.tx(params["generator"])
+
+        def apply_g(args):
+            g_params, opt_state, grads = args
+            updates, opt_state = tx.update(grads, opt_state, g_params)
+            return optax.apply_updates(g_params, updates), opt_state
+
+        g_params, opt_state = jax.lax.cond(
+            with_g,
+            apply_g,
+            lambda args: (args[0], args[1]),
+            (params["generator"], state.opt_state, g_grads),
+        )
+
+        # quantizer callbacks (normalize / EMA) after the gradient step
+        if self.codebook_update is not None:
+            from .base import apply_codebook_update
+
+            codebook = _tree_get({"generator": g_params}, self.codebook_path)
+            new_cb, extra = apply_codebook_update(
+                self.codebook_update,
+                codebook,
+                out["quantizer"].aux["x"],
+                out["quantizer"].codes,
+                extra,
+                rng,
+            )
+            g_params = _tree_set(
+                {"generator": g_params}, self.codebook_path, new_cb
+            )["generator"]
+
+        # ---- discrimination phase (reference mode='discrimination') ----
+        pred_sg = jax.lax.stop_gradient(out["pred"])
+        d_tx = self.d_tx(d_params)
+
+        def run_d(args):
+            d_params, d_opt_state, d_stats = args
+
+            def d_loss_fn(d_params):
+                logits_fake, d_stats1 = self._disc_apply(
+                    d_params, d_stats, pred_sg, train=True
+                )
+                logits_real, d_stats2 = self._disc_apply(
+                    d_params, d_stats1, image, train=True
+                )
+                d_loss = hinge_d_loss(logits_fake, logits_real)
+                if self.r1_weight:
+                    r1 = r1_gradient_penalty(
+                        lambda x: self._disc_apply(
+                            d_params, d_stats, x, train=False
+                        )[0],
+                        image,
+                        self.r1_weight,
+                    )
+                else:
+                    r1 = jnp.zeros(())
+                return d_loss + r1, (d_stats2, d_loss, r1)
+
+            (_, (d_stats_new, d_loss, r1)), d_grads = jax.value_and_grad(
+                d_loss_fn, has_aux=True
+            )(d_params)
+            updates, d_opt_state = d_tx.update(d_grads, d_opt_state, d_params)
+            d_params = optax.apply_updates(d_params, updates)
+            return d_params, d_opt_state, d_stats_new, d_loss, r1
+
+        def skip_d(args):
+            d_params, d_opt_state, d_stats = args
+            return d_params, d_opt_state, d_stats, jnp.zeros(()), jnp.zeros(())
+
+        d_params, d_opt_state, d_stats, d_loss, r1 = jax.lax.cond(
+            with_d, run_d, skip_d, (d_params, state.d_opt_state, d_stats)
+        )
+
+        extra["d_batch_stats"] = d_stats
+        metrics = {
+            "loss": g_total,
+            "d_loss": d_loss,
+            "r1_gp": r1,
+            **g_metrics,
+        }
+        return (
+            state.replace(
+                step=step + 1,
+                params={"generator": g_params, "discriminator": d_params},
+                opt_state=opt_state,
+                d_opt_state=d_opt_state,
+                extra=extra,
+            ),
+            metrics,
+        )
+
+    def _run_aglw_probe(self, g_params, d_params, d_stats, image):
+        # forward to get z for the aglw probe (stop-grad; reference reuses
+        # the generation graph, we recompute under the cond)
+        out = self.model.apply({"params": g_params}, image, train=False)
+        return self._aglw(g_params, d_params, d_stats, out["quantizer"].z, image)
+
+    # -- eval --------------------------------------------------------------
+
+    def eval_step(self, state: TrainState, batch):
+        out = self.model.apply(
+            {"params": state.params["generator"]}, batch["image"], train=False
+        )
+        r_loss, r_losses = self._r_loss(out["pred"], batch["image"])
+        return {
+            "pred": out["pred"],
+            "codes": out["quantizer"].codes,
+            "r_loss": r_loss,
+            **r_losses,
+        }
