@@ -1,0 +1,270 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vector_quantization_tpu.algorithms.ar import ARAlgorithm
+from vector_quantization_tpu.data import DataLoader, SyntheticDataset
+from vector_quantization_tpu.models.transformers.llama import (
+    KVCache,
+    LlamaTransformer,
+)
+from vector_quantization_tpu.models.transformers.sampling import (
+    cfg_mix,
+    sample_tokens,
+    top_k_top_p_filter,
+)
+from vector_quantization_tpu.parallel import DataParallelStrategy, make_mesh
+from vector_quantization_tpu.tasks.sequence_modeling import (
+    TokenCodebook,
+    generate,
+    next_token_ce,
+    pack_c2i_tokens,
+)
+from vector_quantization_tpu.training import Trainer
+
+TINY = dict(
+    vocabulary_size=64,
+    hidden_size=32,
+    num_layers=2,
+    num_heads=2,
+    ffn_dim=64,
+    max_length=32,
+)
+
+
+def _rand_head(params):
+    """lm_head is zero-init (reference parity); randomize for logit tests."""
+    params = dict(params)
+    params["lm_head"] = jax.random.normal(
+        jax.random.PRNGKey(42), params["lm_head"].shape
+    ) * 0.1
+    return params
+
+
+class TestLlama:
+    def test_forward_shapes(self):
+        tr = LlamaTransformer(**TINY)
+        tokens = jnp.zeros((2, 10), jnp.int32)
+        params = tr.init(jax.random.PRNGKey(0), tokens)["params"]
+        logits = tr.apply({"params": params}, tokens)
+        assert logits.shape == (2, 10, 64)
+
+    def test_lm_head_zero_init(self):
+        tr = LlamaTransformer(**TINY)
+        tokens = jnp.zeros((1, 4), jnp.int32)
+        params = tr.init(jax.random.PRNGKey(0), tokens)["params"]
+        np.testing.assert_allclose(np.asarray(params["lm_head"]), 0.0)
+
+    def test_causality(self):
+        tr = LlamaTransformer(**TINY)
+        key = jax.random.PRNGKey(1)
+        t1 = jax.random.randint(key, (1, 8), 0, 64)
+        params = _rand_head(tr.init(jax.random.PRNGKey(0), t1)["params"])
+        # perturb a suffix token; prefix logits must not change
+        t2 = t1.at[0, 5].set((t1[0, 5] + 1) % 64)
+        l1 = tr.apply({"params": params}, t1)
+        l2 = tr.apply({"params": params}, t2)
+        np.testing.assert_allclose(
+            np.asarray(l1[:, :5]), np.asarray(l2[:, :5]), atol=1e-5
+        )
+        assert not np.allclose(np.asarray(l1[:, 5:]), np.asarray(l2[:, 5:]))
+
+    def test_kv_cache_matches_full_forward(self):
+        tr = LlamaTransformer(**TINY)
+        key = jax.random.PRNGKey(2)
+        tokens = jax.random.randint(key, (2, 12), 0, 64)
+        params = _rand_head(tr.init(jax.random.PRNGKey(0), tokens)["params"])
+        full = tr.apply({"params": params}, tokens)
+
+        # prefill 6, then decode 6 one at a time through the cache
+        cache = tr.init_cache(2, dtype=jnp.float32)
+        logits, cache = tr.apply({"params": params}, tokens[:, :6], cache)
+        np.testing.assert_allclose(
+            np.asarray(logits), np.asarray(full[:, :6]), atol=2e-3
+        )
+        outs = [logits[:, -1]]
+        for i in range(6, 12):
+            step_logits, cache = tr.apply(
+                {"params": params}, tokens[:, i : i + 1], cache
+            )
+            outs.append(step_logits[:, -1])
+        incremental = jnp.stack(outs[:-1], axis=1)  # predictions for 6..11
+        np.testing.assert_allclose(
+            np.asarray(incremental),
+            np.asarray(full[:, 5:11]),
+            atol=2e-3,
+        )
+
+
+class TestSampling:
+    def test_top_k_keeps_k(self):
+        logits = jnp.asarray([[1.0, 5.0, 3.0, 2.0, 4.0]])
+        out = np.asarray(top_k_top_p_filter(logits, top_k=2))
+        assert (out > -1e9).sum() == 2
+        assert out[0, 1] == 5.0 and out[0, 4] == 4.0
+
+    def test_top_p_keeps_head(self):
+        logits = jnp.log(jnp.asarray([[0.5, 0.3, 0.15, 0.05]]))
+        out = np.asarray(top_k_top_p_filter(logits, top_p=0.7))
+        # cumulative 0.5, 0.8 -> keep first two
+        assert (out > -1e9).sum() == 2
+
+    def test_sample_range_restricted(self):
+        key = jax.random.PRNGKey(0)
+        logits = jax.random.normal(key, (64, 20))
+        toks = sample_tokens(key, logits, start=5, end=15)
+        assert (np.asarray(toks) >= 5).all() and (np.asarray(toks) < 15).all()
+
+    def test_cfg_mix(self):
+        u = jnp.ones((2, 4))
+        c = jnp.full((2, 4), 3.0)
+        out = cfg_mix(jnp.concatenate([u, c]), alpha=1.75)
+        np.testing.assert_allclose(np.asarray(out), 1 + 1.75 * 2)
+
+
+class TestSequencePacking:
+    def test_pack_and_codebook(self):
+        cb = TokenCodebook(start=11, size=8)
+        cat = jnp.asarray([3, 4])
+        codes = jnp.arange(8).reshape(2, 2, 2)
+        toks = pack_c2i_tokens(cat, codes, cb)
+        assert toks.shape == (2, 5)
+        np.testing.assert_array_equal(np.asarray(toks[0]), [3, 11, 12, 13, 14])
+        np.testing.assert_array_equal(
+            np.asarray(cb.debias(toks[:, 1:])), np.asarray(codes.reshape(2, 4))
+        )
+
+    def test_ce_perfect_prediction(self):
+        # logits that put all mass on the right next token -> ce ~ 0
+        tokens = jnp.asarray([[1, 2, 3]])
+        logits = jnp.full((1, 3, 5), -100.0)
+        logits = logits.at[0, 0, 2].set(100.0).at[0, 1, 3].set(100.0)
+        logits = logits.at[0, 2, 0].set(100.0)  # last position unused
+        assert float(next_token_ce(logits, tokens)) < 1e-3
+
+
+class TestGenerate:
+    def test_generate_shapes_and_range(self):
+        tr = LlamaTransformer(**TINY)
+        tokens = jnp.zeros((2, 4), jnp.int32)
+        params = tr.init(jax.random.PRNGKey(0), tokens)["params"]
+        cb = TokenCodebook(start=10, size=16)
+        out = generate(
+            tr, params, jnp.asarray([[1], [2]]), 9, cb,
+            jax.random.PRNGKey(3), sampler={"top_k": 5},
+        )
+        assert out.shape == (2, 9)
+        assert (np.asarray(out) >= 0).all() and (np.asarray(out) < 16).all()
+
+    def test_generate_cfg_halves_batch(self):
+        tr = LlamaTransformer(**TINY)
+        tokens = jnp.zeros((4, 4), jnp.int32)
+        params = tr.init(jax.random.PRNGKey(0), tokens)["params"]
+        cb = TokenCodebook(start=10, size=16)
+        prefix = jnp.asarray([[9], [9], [1], [2]])  # [uncond; cond]
+        out = generate(
+            tr, params, prefix, 5, cb, jax.random.PRNGKey(4), cfg_alpha=1.75
+        )
+        assert out.shape == (2, 5)
+
+
+IR_CFG = {
+    "type": "AutoencoderModel",
+    "encoder": {
+        "type": "VQGANEncoder",
+        "width": 16,
+        "width_mults": (1, 2),
+        "depth_mult": 1,
+        "out_channels": 8,
+        "attention_layer": None,
+        "refine_layer": None,
+    },
+    "quantizer": {
+        "type": "VectorQuantizer",
+        "codebook_size": 32,
+        "embedding_dim": 8,
+        "losses": {"vqgan": {}},
+    },
+    "decoder": {
+        "type": "VQGANDecoder",
+        "width": 16,
+        "width_mults": (2, 1),
+        "depth_mult": 1,
+        "in_channels": 8,
+        "attention_layer": None,
+        "refine_layer": None,
+    },
+}
+
+
+class TestARAlgorithm:
+    def _algo(self, **kw):
+        kw.setdefault("transformer", {"type": "LlamaTransformer", **{
+            k: v for k, v in TINY.items() if k != "vocabulary_size"
+        }})
+        kw.setdefault("ir", IR_CFG)
+        kw.setdefault("num_categories", 10)
+        kw.setdefault("cfg", 0.1)
+        kw.setdefault("image_size", 32)
+        kw.setdefault("optimizer", {"type": "adamw", "lr": 1e-3})
+        return ARAlgorithm(**kw)
+
+    def test_vocab_layout(self):
+        algo = self._algo()
+        assert algo.image_codebook.start == 11  # 10 classes + uncond
+        assert algo.image_codebook.size == 32
+        assert algo.model.vocabulary_size == 43
+        assert algo.image_hw == 16  # 32px / f2
+
+    def test_training_runs(self, tmp_path):
+        algo = self._algo()
+        ds = SyntheticDataset(size=16, image_size=32)
+        dl = DataLoader(ds, batch_size=8, num_workers=0)
+        tr = Trainer(
+            name="ar",
+            algorithm=algo,
+            dataloader=dl,
+            strategy=DataParallelStrategy(make_mesh({"dp": -1})),
+            work_dir=str(tmp_path / "w"),
+            max_iters=2,
+        )
+        state = tr.run()
+        assert int(state.step) == 2
+        assert "ir_params" in state.extra
+
+    def test_eval_and_generate(self, tmp_path):
+        algo = self._algo()
+        ds = SyntheticDataset(size=8, image_size=32)
+        batch = next(iter(DataLoader(ds, batch_size=8, num_workers=0)))
+        state = algo.init_state(
+            jax.random.PRNGKey(0),
+            {"image": jnp.asarray(batch["image"]),
+             "category": jnp.asarray(batch["category"])},
+        )
+        memo = jax.jit(algo.eval_step)(
+            state,
+            {"image": jnp.asarray(batch["image"]),
+             "category": jnp.asarray(batch["category"])},
+        )
+        assert np.isfinite(float(memo["loss"]))
+        assert 0 <= float(memo["accuracy"]) <= 1
+
+        images = algo.generate_step(
+            state, jnp.arange(2), jax.random.PRNGKey(1)
+        )
+        assert images.shape == (2, 32, 32, 3)
+
+    def test_pretokenized_batch_skips_ir(self, tmp_path):
+        algo = self._algo()
+        state = algo.init_state(
+            jax.random.PRNGKey(0),
+            {"image": jnp.zeros((2, 32, 32, 3)),
+             "category": jnp.zeros((2,), jnp.int32)},
+        )
+        batch = {
+            "codes": jnp.zeros((4, 16, 16), jnp.int32),
+            "category": jnp.arange(4),
+        }
+        state2, metrics = jax.jit(algo.train_step)(state, batch)
+        assert np.isfinite(float(metrics["loss"]))

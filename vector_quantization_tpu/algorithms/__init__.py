@@ -6,7 +6,8 @@ pulls in every built-in algorithm.
 """
 
 from .. import tasks as _tasks  # registers task models (reference custom_imports)
+from . import ar  # ARAlgorithm (LlamaGen-style proposal networks)
 from . import base  # ReconstructionAlgorithm (FSQ / VQ-KD / CVQ / Cluster)
 from . import vqgan  # VQGANAlgorithm (GAN-trained tokenizer)
 
-__all__ = ["base", "vqgan"]
+__all__ = ["ar", "base", "vqgan"]

@@ -23,8 +23,20 @@ __all__ = ["GroupNorm32", "ResBlock", "AttnBlock", "Downsample", "Upsample"]
 Dtype = Any
 
 
-def GroupNorm32(dtype: Dtype = jnp.float32) -> nn.GroupNorm:
-    return nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=dtype)
+class GroupNorm32(nn.Module):
+    """GroupNorm(32, eps=1e-6) — the reference's fixed choice
+    (autoencoder.py:23,57). Falls back to C groups for test-sized widths
+    below 32 channels (identical at all real model widths)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        groups = 32 if c % 32 == 0 else c
+        return nn.GroupNorm(
+            num_groups=groups, epsilon=1e-6, dtype=self.dtype
+        )(x)
 
 
 class ResBlock(nn.Module):

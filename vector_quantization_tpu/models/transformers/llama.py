@@ -1,0 +1,246 @@
+"""Llama-style AR decoder — the proposal-network transformer.
+
+Behavioral reference: ``vq/algorithms/ar/transformers/llama.py:15-47`` (HF
+``LlamaForCausalLM`` built from scratch: RMSNorm, rotary attention, SwiGLU
+MLP, no biases; GPT-2-style N(0, 0.02) init with zeroed lm_head; medium =
+24L/16H/1024d/2816ffn per ``configs/ar/transformers/llama.py:8-15``).
+
+TPU-native design (replaces the reference's python ``while`` loop over HF
+``past_key_values``, ``ar/transformers/base.py:41-56``):
+- training forward: full-sequence causal attention (MXU einsums, bf16);
+- generation: static-shape KV cache (one (B, L_max, H, Dh) pair per layer)
+  with a jitted ``lax.scan`` decode loop — one compiled program for the
+  entire image generation;
+- ``tp_param_spec`` provides tensor-parallel PartitionSpecs (attention heads
+  and FFN sharded over the ``tp`` mesh axis) — the north-star extension
+  beyond the reference's DDP-only parallelism.
+
+Weight layout matches HF Llama naming closely enough for a mechanical
+torch→flax converter (tools/convert_checkpoints.py analogue).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from jax.sharding import PartitionSpec as P
+
+from ...registries import TransformerRegistry
+
+__all__ = ["LlamaTransformer", "KVCache", "llama_tp_param_spec"]
+
+_dense_init = nn.initializers.normal(0.02)
+
+
+class KVCache(NamedTuple):
+    """Per-layer stacked static cache: k/v (L_layers, B, L_max, H, Dh)."""
+
+    k: jax.Array
+    v: jax.Array
+    length: jax.Array  # () int32 — number of valid positions
+
+
+def _rope(x: jax.Array, positions: jax.Array, theta: float = 10000.0) -> jax.Array:
+    """HF-style rotate-half RoPE. x: (B, T, H, Dh), positions: (B, T) or (T,)."""
+    dh = x.shape[-1]
+    freqs = theta ** (
+        -jnp.arange(0, dh // 2, dtype=jnp.float32) / (dh // 2)
+    )
+    angles = positions[..., None].astype(jnp.float32) * freqs  # (..., T, Dh/2)
+    cos = jnp.cos(angles)[..., None, :]  # (..., T, 1, Dh/2)
+    sin = jnp.sin(angles)[..., None, :]
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    out1 = x1 * cos - x2 * sin
+    out2 = x2 * cos + x1 * sin
+    return jnp.concatenate([out1, out2], axis=-1).astype(x.dtype)
+
+
+class RMSNorm(nn.Module):
+    eps: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        scale = self.param(
+            "scale", nn.initializers.ones, (x.shape[-1],), jnp.float32
+        )
+        x32 = x.astype(jnp.float32)
+        norm = x32 * jax.lax.rsqrt(
+            jnp.mean(x32 * x32, axis=-1, keepdims=True) + self.eps
+        )
+        return (norm * scale).astype(self.dtype)
+
+
+class LlamaBlock(nn.Module):
+    num_heads: int
+    ffn_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        positions: jax.Array,
+        mask: jax.Array,
+        cache_kv: tuple[jax.Array, jax.Array] | None = None,
+        offset: jax.Array | None = None,
+    ):
+        """x: (B, T, D). mask: (B, 1, T, S) additive. cache_kv: full
+        (B, L_max, H, Dh) k/v buffers holding past positions; the current
+        k/v are scattered in at ``offset`` before attention."""
+        b, t, d = x.shape
+        h = self.num_heads
+        dh = d // h
+        y = RMSNorm(dtype=self.dtype, name="input_norm")(x)
+        q = nn.Dense(d, use_bias=False, kernel_init=_dense_init, dtype=self.dtype, name="q_proj")(y)
+        k = nn.Dense(d, use_bias=False, kernel_init=_dense_init, dtype=self.dtype, name="k_proj")(y)
+        v = nn.Dense(d, use_bias=False, kernel_init=_dense_init, dtype=self.dtype, name="v_proj")(y)
+        q = q.reshape(b, t, h, dh)
+        k = k.reshape(b, t, h, dh)
+        v = v.reshape(b, t, h, dh)
+        q = _rope(q, positions)
+        k = _rope(k, positions)
+
+        if cache_kv is not None:
+            k_buf, v_buf = cache_kv
+            # scatter current k/v into the static cache at `offset`
+            k_full = jax.lax.dynamic_update_slice_in_dim(
+                k_buf, k.astype(k_buf.dtype), offset, axis=1
+            )
+            v_full = jax.lax.dynamic_update_slice_in_dim(
+                v_buf, v.astype(v_buf.dtype), offset, axis=1
+            )
+            k_att, v_att = k_full.astype(self.dtype), v_full.astype(self.dtype)
+            new_cache = (k_full, v_full)
+        else:
+            k_att, v_att = k, v
+            new_cache = None
+
+        scores = jnp.einsum(
+            "bthd,bshd->bhts", q, k_att, preferred_element_type=jnp.float32
+        ) / jnp.sqrt(dh)
+        scores = scores + mask
+        probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+        attn = jnp.einsum("bhts,bshd->bthd", probs, v_att)
+        attn = attn.reshape(b, t, d)
+        x = x + nn.Dense(
+            d, use_bias=False, kernel_init=_dense_init, dtype=self.dtype, name="o_proj"
+        )(attn)
+
+        y = RMSNorm(dtype=self.dtype, name="post_norm")(x)
+        gate = nn.Dense(self.ffn_dim, use_bias=False, kernel_init=_dense_init, dtype=self.dtype, name="gate_proj")(y)
+        up = nn.Dense(self.ffn_dim, use_bias=False, kernel_init=_dense_init, dtype=self.dtype, name="up_proj")(y)
+        y = nn.silu(gate) * up
+        x = x + nn.Dense(
+            d, use_bias=False, kernel_init=_dense_init, dtype=self.dtype, name="down_proj"
+        )(y)
+        return x, new_cache
+
+
+@TransformerRegistry.register()
+class LlamaTransformer(nn.Module):
+    vocabulary_size: int
+    hidden_size: int = 1024
+    num_layers: int = 24
+    num_heads: int = 16
+    ffn_dim: int = 2816
+    max_length: int = 1024
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        tokens: jax.Array,
+        cache: KVCache | None = None,
+    ):
+        """Training/prefill: tokens (B, T) → logits (B, T, V).
+
+        With ``cache``: incremental decode — tokens are the NEW positions
+        (cache.length gives the offset); returns (logits, new_cache).
+        """
+        b, t = tokens.shape
+        emb = self.param(
+            "embedding",
+            _dense_init,
+            (self.vocabulary_size, self.hidden_size),
+            jnp.float32,
+        )
+        x = emb[tokens].astype(self.dtype)
+
+        if cache is None:
+            positions = jnp.broadcast_to(jnp.arange(t), (b, t))
+            # causal mask
+            causal = jnp.tril(jnp.ones((t, t), jnp.bool_))
+            mask = jnp.where(causal, 0.0, -1e9)[None, None]
+        else:
+            offset = cache.length
+            positions = jnp.broadcast_to(jnp.arange(t) + offset, (b, t))
+            # attend to all cache positions < offset + current causal block
+            s = cache.k.shape[2]  # L_max
+            col = jnp.arange(s)[None, :]
+            row = jnp.arange(t)[:, None] + offset
+            mask = jnp.where(col <= row, 0.0, -1e9)[None, None]
+
+        offset = cache.length if cache is not None else None
+        new_k, new_v = [], []
+        for i in range(self.num_layers):
+            layer_cache = (
+                (cache.k[i], cache.v[i]) if cache is not None else None
+            )
+            x, upd = LlamaBlock(
+                num_heads=self.num_heads,
+                ffn_dim=self.ffn_dim,
+                dtype=self.dtype,
+                name=f"layer{i}",
+            )(x, positions, mask, layer_cache, offset)
+            if upd is not None:
+                new_k.append(upd[0])
+                new_v.append(upd[1])
+
+        x = RMSNorm(dtype=self.dtype, name="final_norm")(x)
+        lm_head = self.param(
+            "lm_head",
+            nn.initializers.zeros,  # reference zeroes the head
+            (self.hidden_size, self.vocabulary_size),
+            jnp.float32,
+        )
+        logits = jnp.einsum(
+            "btd,dv->btv",
+            x.astype(jnp.float32),
+            lm_head,
+            preferred_element_type=jnp.float32,
+        )
+        if cache is not None:
+            new_cache = KVCache(
+                k=jnp.stack(new_k), v=jnp.stack(new_v), length=cache.length + t
+            )
+            return logits, new_cache
+        return logits
+
+    def init_cache(self, batch: int, dtype=jnp.bfloat16) -> KVCache:
+        dh = self.hidden_size // self.num_heads
+        shape = (self.num_layers, batch, self.max_length, self.num_heads, dh)
+        return KVCache(
+            k=jnp.zeros(shape, dtype),
+            v=jnp.zeros(shape, dtype),
+            length=jnp.zeros((), jnp.int32),
+        )
+
+
+def llama_tp_param_spec(path: tuple, leaf, axis: str = "tp") -> P:
+    """Tensor-parallel sharding rules (Megatron-style): q/k/v/gate/up column-
+    parallel, o/down row-parallel, embeddings/lm_head vocab-sharded."""
+    keys = [getattr(p, "key", None) for p in path]
+    name = "/".join(str(k) for k in keys if k is not None)
+    if any(k in name for k in ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj")):
+        return P(None, axis)
+    if any(k in name for k in ("o_proj", "down_proj")):
+        return P(axis, None)
+    if name.endswith("embedding"):
+        return P(axis, None)
+    if name.endswith("lm_head"):
+        return P(None, axis)
+    return P()

@@ -1,0 +1,70 @@
+"""Samplers for AR generation.
+
+Behavioral reference: ``vq/tasks/sequence_modeling/models/samplers.py`` —
+- BaseSampler (:21-46): softmax-multinomial restricted to the codebook id
+  range [start, end) then re-biased;
+- TopKTopPSampler (:49-72): temperature / top-k=600 / top-p=0.92 filtering
+  (HF ``top_k_top_p_filtering`` semantics: keep top-k, then drop tokens with
+  cumulative probability above top_p, always keeping the most likely token);
+- CFGSampler (:75-120): logits = (1−α)·uncond + α·cond over a doubled batch,
+  sampled tokens repeated 2×.
+
+All pure JAX (jit/scan-safe).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["top_k_top_p_filter", "sample_tokens", "cfg_mix"]
+
+_NEG = -1e10
+
+
+def top_k_top_p_filter(
+    logits: jax.Array, top_k: int = 0, top_p: float = 1.0
+) -> jax.Array:
+    """(B, V) logits → filtered logits (masked entries = -inf)."""
+    v = logits.shape[-1]
+    if top_k and top_k < v:
+        kth = jnp.sort(logits, axis=-1)[:, v - top_k][:, None]
+        logits = jnp.where(logits < kth, _NEG, logits)
+    if top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]  # descending
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cumprobs = jnp.cumsum(probs, axis=-1)
+        # HF semantics: remove tokens with cumulative prob above top_p,
+        # shifted right so the first token above the threshold is kept
+        remove_sorted = cumprobs > top_p
+        remove_sorted = jnp.concatenate(
+            [jnp.zeros_like(remove_sorted[:, :1]), remove_sorted[:, :-1]],
+            axis=-1,
+        )
+        # threshold value: smallest kept logit
+        kept = jnp.where(remove_sorted, jnp.inf, sorted_logits)
+        threshold = jnp.min(kept, axis=-1, keepdims=True)
+        logits = jnp.where(logits < threshold, _NEG, logits)
+    return logits
+
+
+def sample_tokens(
+    key: jax.Array,
+    logits: jax.Array,
+    start: int,
+    end: int,
+    temperature: float = 1.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
+) -> jax.Array:
+    """(B, V) logits → (B,) token ids in [start, end)."""
+    logits = logits[:, start:end] / temperature
+    logits = top_k_top_p_filter(logits, top_k, top_p)
+    tokens = jax.random.categorical(key, logits, axis=-1)
+    return (tokens + start).astype(jnp.int32)
+
+
+def cfg_mix(logits: jax.Array, alpha: float) -> jax.Array:
+    """Doubled batch [uncond; cond] → (B/2, V) mixed logits."""
+    uncond, cond = jnp.split(logits, 2, axis=0)
+    return (1.0 - alpha) * uncond + alpha * cond

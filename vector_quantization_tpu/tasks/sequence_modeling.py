@@ -1,0 +1,158 @@
+"""Sequence modeling (SM) task — class-conditional AR image generation.
+
+Behavioral reference:
+- vocabulary layout (todd lmm ``Codebook``/``C2IData``, used at
+  ``vq/tasks/sequence_modeling/models/c2i.py:26-84``): ids =
+  [0, num_categories) condition classes | optional CFG uncondition token at
+  ``num_categories`` | image codes biased by ``num_categories + has_cfg``;
+- sequence = [category_token, image codes...] (C2IData), teacher-forced
+  next-token CE (``models/base.py:82-135`` + HF ``labels=tokens`` loss);
+- CFG train-time condition dropout (``models/x2i.py:62-74``), generation
+  with doubled batch + logit mixing (``x2i.py:75-78``, samplers.py:75-120);
+- generation loop (``vq/algorithms/ar/transformers/base.py:41-56``) —
+  re-designed as a jitted ``lax.scan`` over a static KV cache.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Mapping
+
+import jax
+import jax.numpy as jnp
+
+from ..models.transformers.llama import KVCache, LlamaTransformer  # noqa: F401
+from ..models.transformers.sampling import cfg_mix, sample_tokens
+
+__all__ = [
+    "TokenCodebook",
+    "pack_c2i_tokens",
+    "next_token_ce",
+    "generate",
+    "teacher_forced_sample",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class TokenCodebook:
+    """Id-range bias/debias (todd lmm Codebook semantics)."""
+
+    start: int
+    size: int
+
+    @property
+    def end(self) -> int:
+        return self.start + self.size
+
+    def bias(self, tokens: jax.Array) -> jax.Array:
+        return tokens + self.start
+
+    def debias(self, tokens: jax.Array) -> jax.Array:
+        return tokens - self.start
+
+
+def pack_c2i_tokens(
+    category: jax.Array, image_codes: jax.Array, image_codebook: TokenCodebook
+) -> jax.Array:
+    """[category | biased image codes] → (B, 1 + h·w) int32."""
+    codes = image_codebook.bias(image_codes.reshape(image_codes.shape[0], -1))
+    return jnp.concatenate(
+        [category[:, None].astype(jnp.int32), codes.astype(jnp.int32)], axis=1
+    )
+
+
+def next_token_ce(logits: jax.Array, tokens: jax.Array) -> jax.Array:
+    """Teacher-forced CE: logits (B, T, V) predicting tokens[:, 1:]."""
+    logits = logits[:, :-1].astype(jnp.float32)
+    targets = tokens[:, 1:]
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ll = jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    return -jnp.mean(ll)
+
+
+def teacher_forced_sample(
+    key: jax.Array,
+    logits: jax.Array,
+    image_codebook: TokenCodebook,
+    sampler: Mapping[str, Any],
+) -> jax.Array:
+    """Re-sample every image position from teacher-forced logits (reference
+    ``X2IMixin.sample``, ``vq/algorithms/ar/x2i.py:24-60`` — feeds the token
+    AccuracyMetric). logits: (B, T, V); returns (B, T) ids in image range."""
+    b, t, v = logits.shape
+    flat = logits.reshape(b * t, v)
+    tokens = sample_tokens(
+        key,
+        flat,
+        image_codebook.start,
+        image_codebook.end,
+        temperature=sampler.get("temperature", 1.0),
+        top_k=sampler.get("top_k", 0),
+        top_p=sampler.get("top_p", 1.0),
+    )
+    return tokens.reshape(b, t)
+
+
+def generate(
+    transformer: LlamaTransformer,
+    params: Any,
+    prefix: jax.Array,
+    num_tokens: int,
+    image_codebook: TokenCodebook,
+    key: jax.Array,
+    *,
+    sampler: Mapping[str, Any] | None = None,
+    cfg_alpha: float | None = None,
+    cache_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Jitted AR generation: prefill the prefix, then ``lax.scan`` one token
+    at a time through the static KV cache.
+
+    prefix: (B, S) biased condition tokens (already CFG-doubled when
+    ``cfg_alpha`` is set: [uncond; cond]). Returns (B, num_tokens) *debiased*
+    image codes (the conditional half when CFG).
+    """
+    sampler = dict(sampler or {})
+    b, s = prefix.shape
+    cache = transformer.init_cache(b, dtype=cache_dtype)
+    apply = partial(transformer.apply, {"params": params})
+
+    logits, cache = apply(prefix, cache)
+    last_logits = logits[:, -1]
+
+    def sample_step(key, logits):
+        if cfg_alpha is not None:
+            mixed = cfg_mix(logits, cfg_alpha)
+            tok = sample_tokens(
+                key,
+                mixed,
+                image_codebook.start,
+                image_codebook.end,
+                temperature=sampler.get("temperature", 1.0),
+                top_k=sampler.get("top_k", 0),
+                top_p=sampler.get("top_p", 1.0),
+            )
+            return jnp.concatenate([tok, tok], axis=0)
+        return sample_tokens(
+            key,
+            logits,
+            image_codebook.start,
+            image_codebook.end,
+            temperature=sampler.get("temperature", 1.0),
+            top_k=sampler.get("top_k", 0),
+            top_p=sampler.get("top_p", 1.0),
+        )
+
+    def body(carry, step_key):
+        cache, logits = carry
+        token = sample_step(step_key, logits)
+        new_logits, cache = apply(token[:, None], cache)
+        return (cache, new_logits[:, -1]), token
+
+    keys = jax.random.split(key, num_tokens)
+    (_, _), tokens = jax.lax.scan(body, (cache, last_logits), keys)
+    tokens = jnp.moveaxis(tokens, 0, 1)  # (B, num_tokens)
+    if cfg_alpha is not None:
+        tokens = tokens[: b // 2]
+    return image_codebook.debias(tokens)
