@@ -6,8 +6,11 @@ pulls in every built-in algorithm.
 """
 
 from .. import tasks as _tasks  # registers task models (reference custom_imports)
+from ..models import teachers as _teachers  # register teacher modules
+from ..models.autoencoders import vit as _vit  # register ViT encoder/decoder
 from . import ar  # ARAlgorithm (LlamaGen-style proposal networks)
-from . import base  # ReconstructionAlgorithm (FSQ / VQ-KD / CVQ / Cluster)
+from . import base  # ReconstructionAlgorithm (FSQ / CVQ configs)
 from . import vqgan  # VQGANAlgorithm (GAN-trained tokenizer)
+from . import vqkd  # VQKDAlgorithm + ClusterAlgorithm
 
-__all__ = ["ar", "base", "vqgan"]
+__all__ = ["ar", "base", "vqgan", "vqkd"]

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..models.losses.recon import l1_loss, mse_loss
+from ..models.losses.recon import cosine_loss, l1_loss, mse_loss
 from ..ops import codebook as cb_ops
 from ..ops.distances import normalize, pairwise_distance
 from ..registries import AlgorithmRegistry, ModelRegistry
@@ -36,7 +36,7 @@ from ..training.state import TrainState
 
 __all__ = ["Algorithm", "ReconstructionAlgorithm", "apply_codebook_update"]
 
-RECON_LOSSES = {"l1": l1_loss, "mse": mse_loss}
+RECON_LOSSES = {"l1": l1_loss, "mse": mse_loss, "cosine": cosine_loss}
 
 
 def _tree_get(tree: Any, path: tuple[str, ...]) -> Any:
@@ -192,13 +192,20 @@ class ReconstructionAlgorithm(Algorithm):
 
     # -- loss --------------------------------------------------------------
 
-    def _losses(self, out, batch) -> dict[str, jax.Array]:
+    def _recon_target(self, out, batch, extra) -> jax.Array | None:
+        """What the decoder reconstructs (VQ-KD overrides this with teacher
+        features). None → no reconstruction term (Cluster: quantizer only)."""
+        return batch["image"] if "pred" in out else None
+
+    def _losses(self, out, batch, extra=None) -> dict[str, jax.Array]:
         losses = dict(out["quantizer"].losses)
         if out["quantizer"].loss.ndim == 0 and not losses:
             losses["loss_quantizer"] = out["quantizer"].loss
-        pred, target = out["pred"], batch["image"]
-        for name, cfg in self.recon_losses.items():
-            losses[f"loss_{name}"] = RECON_LOSSES[name](pred, target, **cfg)
+        target = self._recon_target(out, batch, extra or {})
+        if target is not None:
+            pred = out["pred"]
+            for name, cfg in self.recon_losses.items():
+                losses[f"loss_{name}"] = RECON_LOSSES[name](pred, target, **cfg)
         return losses
 
     # -- steps -------------------------------------------------------------
@@ -223,7 +230,7 @@ class ReconstructionAlgorithm(Algorithm):
                 train=True,
                 rngs={"dropout": rng_drop},
             )
-            losses = self._losses(out, batch)
+            losses = self._losses(out, batch, extra)
             total = sum(losses.values(), jnp.zeros((), jnp.float32))
             # the quantizer's summed internal loss (covers the case where
             # .losses was empty but .loss is not)
@@ -290,7 +297,7 @@ class ReconstructionAlgorithm(Algorithm):
         out = self.model.apply(
             {"params": state.params}, batch["image"], train=False
         )
-        losses = self._losses(out, batch)
+        losses = self._losses(out, batch, dict(state.extra))
         return {
             "pred": out["pred"],
             "codes": out["quantizer"].codes,

@@ -13,7 +13,21 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["l1_loss", "mse_loss", "psnr", "ssim"]
+__all__ = ["l1_loss", "mse_loss", "cosine_loss", "psnr", "ssim"]
+
+
+def cosine_loss(
+    pred: jax.Array, target: jax.Array, weight: float = 1.0
+) -> jax.Array:
+    """Cosine-embedding loss: mean(1 − cos(pred, target)) over the channel
+    axis — the VQ-KD distillation loss (reference
+    ``vq/algorithms/utils/losses.py:11-62`` wrapping torch
+    CosineEmbeddingLoss with target=1)."""
+    p = pred.astype(jnp.float32)
+    t = target.astype(jnp.float32)
+    dot = jnp.sum(p * t, axis=-1)
+    denom = jnp.linalg.norm(p, axis=-1) * jnp.linalg.norm(t, axis=-1)
+    return weight * jnp.mean(1.0 - dot / jnp.maximum(denom, 1e-8))
 
 
 def l1_loss(pred: jax.Array, target: jax.Array, weight: float = 1.0) -> jax.Array:
