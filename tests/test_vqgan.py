@@ -174,3 +174,21 @@ class TestVQGANTraining:
         )
         assert memo["pred"].shape == (8, 32, 32, 3)
         assert np.isfinite(float(memo["r_loss"]))
+
+
+class TestVQGANWithLPIPS:
+    def test_lpips_recon_loss_trains(self, tmp_path):
+        algo = _algo(recon_losses={"l1": {}, "lpips": {"weight": 0.5}})
+        ds = SyntheticDataset(size=16, image_size=32)
+        dl = DataLoader(ds, batch_size=8, num_workers=0)
+        tr = Trainer(
+            name="vqgan_lpips",
+            algorithm=algo,
+            dataloader=dl,
+            strategy=DataParallelStrategy(make_mesh({"dp": -1})),
+            work_dir=str(tmp_path / "w"),
+            max_iters=2,
+        )
+        state = tr.run()
+        assert int(state.step) == 2
+        assert "lpips_params" in state.extra

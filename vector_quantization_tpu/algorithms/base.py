@@ -180,6 +180,27 @@ class ReconstructionAlgorithm(Algorithm):
         self.lazy_kmeans_init = (
             dict(lazy_kmeans_init) if lazy_kmeans_init is not None else None
         )
+        self.lpips_module = None
+        if "lpips" in self.recon_losses:
+            from ..models.losses.lpips import LPIPS
+
+            self.lpips_module = LPIPS()
+
+    def _init_lpips(self, extra: dict, rng: jax.Array) -> dict:
+        """LPIPS VGG+lin params are frozen state (loaded from converted
+        weights via load_model_from; random in smoke runs)."""
+        if self.lpips_module is not None:
+            dummy = jnp.zeros((1, 32, 32, 3), jnp.float32)
+            extra["lpips_params"] = self.lpips_module.init(
+                rng, dummy, dummy
+            )["params"]
+        return extra
+
+    def init_state(self, rng: jax.Array, batch: Mapping[str, Any]) -> TrainState:
+        rng, lpips_rng = jax.random.split(rng)
+        state = super().init_state(rng, batch)
+        extra = self._init_lpips(dict(state.extra), lpips_rng)
+        return state.replace(extra=extra)
 
     def init_extra(self, params: Any) -> dict[str, Any]:
         extra: dict[str, Any] = {}
@@ -205,7 +226,15 @@ class ReconstructionAlgorithm(Algorithm):
         if target is not None:
             pred = out["pred"]
             for name, cfg in self.recon_losses.items():
-                losses[f"loss_{name}"] = RECON_LOSSES[name](pred, target, **cfg)
+                if name == "lpips":
+                    raw = self.lpips_module.apply(
+                        {"params": (extra or {})["lpips_params"]}, pred, target
+                    )
+                    losses["loss_lpips"] = cfg.get("weight", 1.0) * raw
+                else:
+                    losses[f"loss_{name}"] = RECON_LOSSES[name](
+                        pred, target, **cfg
+                    )
         return losses
 
     # -- steps -------------------------------------------------------------

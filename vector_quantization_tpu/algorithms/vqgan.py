@@ -99,6 +99,7 @@ class VQGANAlgorithm(ReconstructionAlgorithm):
         d_tx = self.d_tx(params["discriminator"])
         extra = self.init_extra(params)
         extra["d_batch_stats"] = d_vars.get("batch_stats", {})
+        extra = self._init_lpips(extra, jax.random.fold_in(rng, 7))
         return TrainState.create(
             params=params,
             opt_state=tx.init(params["generator"]),
@@ -118,14 +119,19 @@ class VQGANAlgorithm(ReconstructionAlgorithm):
             return logits, updates["batch_stats"]
         return self.discriminator.apply(variables, x, train=False), d_stats
 
-    def _r_loss(self, pred, image):
-        losses = {
-            f"loss_{name}": RECON_LOSSES[name](pred, image, **cfg)
-            for name, cfg in self.recon_losses.items()
-        }
+    def _r_loss(self, pred, image, extra=None):
+        losses = {}
+        for name, cfg in self.recon_losses.items():
+            if name == "lpips":
+                raw = self.lpips_module.apply(
+                    {"params": (extra or {})["lpips_params"]}, pred, image
+                )
+                losses["loss_lpips"] = cfg.get("weight", 1.0) * raw
+            else:
+                losses[f"loss_{name}"] = RECON_LOSSES[name](pred, image, **cfg)
         return sum(losses.values(), jnp.zeros((), jnp.float32)), losses
 
-    def _aglw(self, g_params, d_params, d_stats, z, image):
+    def _aglw(self, g_params, d_params, d_stats, z, image, extra=None):
         """‖∇_last r‖/‖∇_last g‖ via two grads wrt the final decoder kernel
         (reference model.py:141-163)."""
         if self.aglw_gain is None:
@@ -140,7 +146,7 @@ class VQGANAlgorithm(ReconstructionAlgorithm):
             pred = self.model.apply(
                 {"params": g2}, z, method=self.model.decode
             )
-            r, _ = self._r_loss(pred, image)
+            r, _ = self._r_loss(pred, image, extra)
             logits, _ = self._disc_apply(d_params, d_stats, pred, train=False)
             g = self.g_loss_fn(logits)
             return r, g
@@ -170,7 +176,7 @@ class VQGANAlgorithm(ReconstructionAlgorithm):
         # ---- generation phase (reference mode='generation') ----
         aglw = jax.lax.cond(
             with_d,
-            lambda gp: self._run_aglw_probe(gp, d_params, d_stats, image),
+            lambda gp: self._run_aglw_probe(gp, d_params, d_stats, image, extra),
             lambda gp: jnp.ones((), jnp.float32) * (self.aglw_gain or 1.0),
             params["generator"],
         )
@@ -181,7 +187,7 @@ class VQGANAlgorithm(ReconstructionAlgorithm):
             )
             pred = out["pred"]
             q_loss = out["quantizer"].loss
-            r_loss, r_losses = self._r_loss(pred, image)
+            r_loss, r_losses = self._r_loss(pred, image, extra)
 
             def with_gan(pred):
                 logits, _ = self._disc_apply(
@@ -298,11 +304,13 @@ class VQGANAlgorithm(ReconstructionAlgorithm):
             metrics,
         )
 
-    def _run_aglw_probe(self, g_params, d_params, d_stats, image):
+    def _run_aglw_probe(self, g_params, d_params, d_stats, image, extra=None):
         # forward to get z for the aglw probe (stop-grad; reference reuses
         # the generation graph, we recompute under the cond)
         out = self.model.apply({"params": g_params}, image, train=False)
-        return self._aglw(g_params, d_params, d_stats, out["quantizer"].z, image)
+        return self._aglw(
+            g_params, d_params, d_stats, out["quantizer"].z, image, extra
+        )
 
     # -- eval --------------------------------------------------------------
 
@@ -310,7 +318,9 @@ class VQGANAlgorithm(ReconstructionAlgorithm):
         out = self.model.apply(
             {"params": state.params["generator"]}, batch["image"], train=False
         )
-        r_loss, r_losses = self._r_loss(out["pred"], batch["image"])
+        r_loss, r_losses = self._r_loss(
+            out["pred"], batch["image"], dict(state.extra)
+        )
         return {
             "pred": out["pred"],
             "codes": out["quantizer"].codes,

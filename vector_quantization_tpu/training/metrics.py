@@ -106,6 +106,96 @@ class ImageLossMetric(BaseMetric):
 
 
 @MetricRegistry.register()
+class FIDMetric(BaseMetric):
+    """Fréchet Inception Distance of decoded predictions against cached
+    ground-truth statistics (reference ``vq/runners/metrics/fid.py:22-53``:
+    accumulate Inception stats of ``dataset.decode(pred)``, compare with
+    ``dataset.fid_path``).
+
+    ``weights``: path to converted pt_inception params (orbax dir); random
+    init without it (smoke runs — relative values only).
+    ``fid_path``: .npz of cached GT stats; defaults to ``dataset.fid_path``.
+    When no GT cache exists, GT stats are accumulated from the run's own
+    ``original_image`` batches (self-contained small-scale eval).
+    """
+
+    def __init__(
+        self,
+        *,
+        pred: str = "pred",
+        fid_path: str | None = None,
+        weights: str | None = None,
+        **kw,
+    ) -> None:
+        super().__init__(**kw)
+        import jax
+        import jax.numpy as jnp
+
+        from ..models.metrics.fid import FIDStatistics
+        from ..models.metrics.inception import InceptionV3Features
+
+        self.pred = pred
+        self.fid_path = fid_path or getattr(self.dataset, "fid_path", None)
+        self.model = InceptionV3Features()
+        if weights:
+            import orbax.checkpoint as ocp
+
+            with ocp.StandardCheckpointer() as saver:
+                self.params = saver.restore(weights)
+            if "params" in self.params:
+                self.params = self.params["params"]
+        else:
+            import numpy as _np
+
+            dummy = jnp.zeros((1, 32, 32, 3), jnp.uint8)
+            variables = self.model.init(jax.random.PRNGKey(0), dummy)
+            self.params = variables["params"]
+            self.batch_stats = variables.get("batch_stats", {})
+        self._apply = jax.jit(
+            lambda imgs: self.model.apply(
+                {"params": self.params, "batch_stats": getattr(self, "batch_stats", {})}, imgs
+            )
+        )
+        self.pred_stats = FIDStatistics()
+        self.gt_stats = None if self.fid_path else FIDStatistics()
+
+    def update(self, memo: Mapping[str, Any]) -> None:
+        pred_u8 = pixel_decode(memo[self.pred])
+        self.pred_stats.update(np.asarray(self._apply(pred_u8)))
+        if self.gt_stats is not None:
+            gt = np.asarray(memo["batch"]["original_image"])
+            self.gt_stats.update(np.asarray(self._apply(gt)))
+
+    def summary(self, name: str) -> dict[str, float]:
+        from ..models.metrics.fid import FIDStatistics, frechet_distance
+
+        if self.fid_path:
+            gt = FIDStatistics.load(self.fid_path)
+        else:
+            gt = self.gt_stats
+        value = frechet_distance(
+            gt.mean, gt.cov, self.pred_stats.mean, self.pred_stats.cov
+        )
+        return {name: value}
+
+
+@MetricRegistry.register()
+class AccuracyMetric(BaseMetric):
+    """Mean of a scalar accuracy memo entry (reference SM AccuracyMetric)."""
+
+    def __init__(self, *, key: str = "accuracy", **kw) -> None:
+        super().__init__(**kw)
+        self.key = key
+        self.values: list[float] = []
+
+    def update(self, memo: Mapping[str, Any]) -> None:
+        self.values.append(float(np.asarray(memo[self.key])))
+
+    def summary(self, name: str) -> dict[str, float]:
+        return {name: float(np.mean(self.values)) if self.values else 0.0}
+
+
+@MetricRegistry.register()
 class LossMetric(BaseMetric):
     def __init__(self, *, key: str, **kw) -> None:
         super().__init__(**kw)
