@@ -1,0 +1,5 @@
+_base_ = [
+    "interface.py",
+    "../datasets/imagenet.py",
+    "../strategies/dp.py",
+]

@@ -327,8 +327,7 @@ class ReconstructionAlgorithm(Algorithm):
             {"params": state.params}, batch["image"], train=False
         )
         losses = self._losses(out, batch, dict(state.extra))
-        return {
-            "pred": out["pred"],
-            "codes": out["quantizer"].codes,
-            **losses,
-        }
+        memo = {"codes": out["quantizer"].codes, **losses}
+        if "pred" in out:  # TokenizerModel (Cluster) has no decode path
+            memo["pred"] = out["pred"]
+        return memo
