@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..models.discriminators.patchgan import PatchGANDiscriminator  # noqa: F401 (register)
+from ..models import discriminators as _discriminators  # noqa: F401 (register)
 from ..models.losses.gan import (
     hinge_d_loss,
     non_saturating_g_loss,
