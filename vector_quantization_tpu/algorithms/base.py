@@ -114,6 +114,7 @@ class Algorithm:
         *,
         model: Mapping[str, Any] | Any,
         optimizer: Mapping[str, Any] | None = None,
+        ema_decay: float | None = None,
         **kwargs: Any,
     ) -> None:
         self.model = ModelRegistry.build_or_return(model)
@@ -121,7 +122,28 @@ class Algorithm:
             optimizer or {"type": "adam", "lr": 1e-4}
         )
         self._tx = None
+        # EMA shadow of the model weights (reference: todd EMA callback;
+        # extraction via tools/model_ema.py:8-23)
+        self.ema_decay = ema_decay
         self.extra_cfg = kwargs
+
+    def maybe_init_ema(self, extra: dict, params: Any) -> dict:
+        if self.ema_decay is not None:
+            extra["ema_params"] = jax.tree_util.tree_map(
+                jnp.array, params
+            )
+        return extra
+
+    def maybe_update_ema(self, extra: Mapping[str, Any], params: Any) -> dict:
+        extra = dict(extra)
+        if self.ema_decay is not None:
+            d = self.ema_decay
+            extra["ema_params"] = jax.tree_util.tree_map(
+                lambda e, p: d * e + (1.0 - d) * p,
+                extra["ema_params"],
+                params,
+            )
+        return extra
 
     @classmethod
     def build_pre_hook(cls, config, registry):
@@ -200,6 +222,7 @@ class ReconstructionAlgorithm(Algorithm):
         rng, lpips_rng = jax.random.split(rng)
         state = super().init_state(rng, batch)
         extra = self._init_lpips(dict(state.extra), lpips_rng)
+        extra = self.maybe_init_ema(extra, state.params)
         return state.replace(extra=extra)
 
     def init_extra(self, params: Any) -> dict[str, Any]:
@@ -286,6 +309,7 @@ class ReconstructionAlgorithm(Algorithm):
             )
             params = _tree_set(params, self.codebook_path, new_cb)
 
+        extra = self.maybe_update_ema(extra, params)
         metrics = {"loss": loss, **losses}
         return (
             state.replace(

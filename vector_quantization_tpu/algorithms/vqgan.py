@@ -100,6 +100,7 @@ class VQGANAlgorithm(ReconstructionAlgorithm):
         extra = self.init_extra(params)
         extra["d_batch_stats"] = d_vars.get("batch_stats", {})
         extra = self._init_lpips(extra, jax.random.fold_in(rng, 7))
+        extra = self.maybe_init_ema(extra, params["generator"])
         return TrainState.create(
             params=params,
             opt_state=tx.init(params["generator"]),
@@ -159,6 +160,11 @@ class VQGANAlgorithm(ReconstructionAlgorithm):
         aglw = jnp.clip(aglw, 0.0, 1e4)
         return jax.lax.stop_gradient(aglw) * self.aglw_gain
 
+    def _extra_generation_losses(self, g_params, out, batch, extra) -> dict:
+        """Hook for hybrid algorithms (exp/vqgan_vqkd) to add losses to the
+        generation phase. Default: none."""
+        return {}
+
     # -- train step --------------------------------------------------------
 
     def train_step(self, state: TrainState, batch):
@@ -199,6 +205,12 @@ class VQGANAlgorithm(ReconstructionAlgorithm):
                 with_d, with_gan, lambda pred: jnp.zeros(()), pred
             )
             total = q_loss + r_loss + g_loss * aglw
+            extra_losses = self._extra_generation_losses(
+                g_params, out, batch, extra
+            )
+            total = total + sum(
+                extra_losses.values(), jnp.zeros((), jnp.float32)
+            )
             metrics = {
                 "q_loss": q_loss,
                 "r_loss": r_loss,
@@ -206,6 +218,7 @@ class VQGANAlgorithm(ReconstructionAlgorithm):
                 "aglw": aglw,
                 **r_losses,
                 **out["quantizer"].losses,
+                **extra_losses,
             }
             return total, (out, metrics)
 
@@ -287,6 +300,14 @@ class VQGANAlgorithm(ReconstructionAlgorithm):
         )
 
         extra["d_batch_stats"] = d_stats
+        if self.ema_decay is not None:
+            # EMA shadow of the generator only
+            d = self.ema_decay
+            extra["ema_params"] = jax.tree_util.tree_map(
+                lambda e, p: d * e + (1.0 - d) * p,
+                extra["ema_params"],
+                g_params,
+            )
         metrics = {
             "loss": g_total,
             "d_loss": d_loss,

@@ -1,0 +1,131 @@
+"""GPT-2 style AR decoder.
+
+Behavioral reference: ``vq/algorithms/ar/transformers/gpt.py:16-34``
+(HF GPT-2 with resized token embeddings). Architecture: learned positional
+embeddings, pre-LN blocks (LN → attn(+bias) → LN → gelu MLP), final LN,
+lm_head tied to the token embedding (HF GPT-2 convention). Same static
+KV-cache decode interface as :class:`.llama.LlamaTransformer`.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...registries import TransformerRegistry
+from .llama import KVCache
+
+__all__ = ["GPT2Transformer"]
+
+_init = nn.initializers.normal(0.02)
+
+
+class _GPT2Block(nn.Module):
+    num_heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask, cache_kv=None, offset=None):
+        b, t, d = x.shape
+        h = self.num_heads
+        dh = d // h
+        y = nn.LayerNorm(dtype=self.dtype, name="ln_1")(x)
+        qkv = nn.Dense(3 * d, kernel_init=_init, dtype=self.dtype, name="c_attn")(y)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, t, h, dh)
+        k = k.reshape(b, t, h, dh)
+        v = v.reshape(b, t, h, dh)
+        if cache_kv is not None:
+            k_buf, v_buf = cache_kv
+            k_full = jax.lax.dynamic_update_slice_in_dim(
+                k_buf, k.astype(k_buf.dtype), offset, axis=1
+            )
+            v_full = jax.lax.dynamic_update_slice_in_dim(
+                v_buf, v.astype(v_buf.dtype), offset, axis=1
+            )
+            k_att, v_att = k_full.astype(self.dtype), v_full.astype(self.dtype)
+            new_cache = (k_full, v_full)
+        else:
+            k_att, v_att = k, v
+            new_cache = None
+        scores = jnp.einsum(
+            "bthd,bshd->bhts", q, k_att, preferred_element_type=jnp.float32
+        ) / jnp.sqrt(dh)
+        probs = jax.nn.softmax(scores + mask, axis=-1).astype(self.dtype)
+        attn = jnp.einsum("bhts,bshd->bthd", probs, v_att).reshape(b, t, d)
+        x = x + nn.Dense(
+            d, kernel_init=_init, dtype=self.dtype, name="c_proj"
+        )(attn)
+        y = nn.LayerNorm(dtype=self.dtype, name="ln_2")(x)
+        y = nn.Dense(4 * d, kernel_init=_init, dtype=self.dtype, name="mlp_fc")(y)
+        y = nn.gelu(y)
+        y = nn.Dense(d, kernel_init=_init, dtype=self.dtype, name="mlp_proj")(y)
+        return x + y, new_cache
+
+
+@TransformerRegistry.register()
+class GPT2Transformer(nn.Module):
+    vocabulary_size: int
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    max_length: int = 1024
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, tokens: jax.Array, cache: KVCache | None = None):
+        b, t = tokens.shape
+        wte = self.param(
+            "wte", _init, (self.vocabulary_size, self.hidden_size), jnp.float32
+        )
+        wpe = self.param(
+            "wpe", _init, (self.max_length, self.hidden_size), jnp.float32
+        )
+        offset = cache.length if cache is not None else jnp.zeros((), jnp.int32)
+        pos = jax.lax.dynamic_slice_in_dim(wpe, offset, t, axis=0)
+        x = (wte[tokens] + pos[None]).astype(self.dtype)
+
+        if cache is None:
+            causal = jnp.tril(jnp.ones((t, t), jnp.bool_))
+            mask = jnp.where(causal, 0.0, -1e9)[None, None]
+        else:
+            s = cache.k.shape[2]
+            col = jnp.arange(s)[None, :]
+            row = jnp.arange(t)[:, None] + offset
+            mask = jnp.where(col <= row, 0.0, -1e9)[None, None]
+
+        new_k, new_v = [], []
+        for i in range(self.num_layers):
+            layer_cache = (
+                (cache.k[i], cache.v[i]) if cache is not None else None
+            )
+            x, upd = _GPT2Block(
+                num_heads=self.num_heads, dtype=self.dtype, name=f"h{i}"
+            )(x, mask, layer_cache, offset if cache is not None else None)
+            if upd is not None:
+                new_k.append(upd[0])
+                new_v.append(upd[1])
+        x = nn.LayerNorm(dtype=self.dtype, name="ln_f")(x)
+        logits = jnp.einsum(
+            "btd,vd->btv",
+            x.astype(jnp.float32),
+            wte,
+            preferred_element_type=jnp.float32,
+        )  # tied head
+        if cache is not None:
+            return logits, KVCache(
+                k=jnp.stack(new_k), v=jnp.stack(new_v), length=cache.length + t
+            )
+        return logits
+
+    def init_cache(self, batch: int, dtype=jnp.bfloat16) -> KVCache:
+        dh = self.hidden_size // self.num_heads
+        shape = (self.num_layers, batch, self.max_length, self.num_heads, dh)
+        return KVCache(
+            k=jnp.zeros(shape, dtype),
+            v=jnp.zeros(shape, dtype),
+            length=jnp.zeros((), jnp.int32),
+        )

@@ -138,11 +138,54 @@ class Trainer(_RunnerBase):
 @RunnerRegistry.register()
 class Validator(_RunnerBase):
     def __init__(
-        self, *, metrics: Mapping[str, Any] | None = None, **kwargs: Any
+        self,
+        *,
+        metrics: Mapping[str, Any] | None = None,
+        visual: Mapping[str, Any] | None = None,
+        **kwargs: Any,
     ) -> None:
         super().__init__(**kwargs)
         self.metric_cfgs = dict(metrics or {})
+        # visual dumps (reference Batched/UnbatchedVisualCallback,
+        # vq/runners/callbacks/visual.py:26-121): keys regex-filtered,
+        # 'batched' = one grid PNG per iter, 'unbatched' = one PNG per image
+        self.visual = dict(visual) if visual else None
         self.max_iters = 0  # set per run
+
+    def _dump_visuals(self, memo: Mapping[str, Any], batch, it: int) -> None:
+        import re
+
+        import numpy as np
+        from PIL import Image
+
+        from ..data.base import pixel_decode
+
+        cfg = self.visual
+        pattern = cfg.get("pattern")
+        mode = cfg.get("mode", "unbatched")
+        out_dir = os.path.join(self.work_dir, "visuals")
+        os.makedirs(out_dir, exist_ok=True)
+        for key in cfg.get("keys", ["pred"]):
+            if pattern and not re.search(pattern, key):
+                continue
+            if key not in memo:
+                continue
+            imgs = np.asarray(pixel_decode(memo[key]))
+            if mode == "batched":
+                rows = np.concatenate(list(imgs), axis=1)  # horizontal strip
+                Image.fromarray(rows).save(
+                    os.path.join(out_dir, f"{key}_{it}.png")
+                )
+            else:
+                for j, img in enumerate(imgs):
+                    name = (
+                        batch["id_"][j].replace("/", "_")
+                        if "id_" in batch
+                        else f"{it}_{j}"
+                    )
+                    Image.fromarray(img).save(
+                        os.path.join(out_dir, f"{key}_{name}.png")
+                    )
 
     def run(self, state: TrainState | None = None) -> dict[str, float]:
         from ..utils.flags import Store
@@ -168,6 +211,8 @@ class Validator(_RunnerBase):
             memo["batch"] = batch
             for m in metric_objs.values():
                 m.update(memo)
+            if self.visual is not None:
+                self._dump_visuals(memo, batch, i)
             for cb in self.callbacks:
                 cb.after_run_iter(i, {})
         results: dict[str, float] = {}
