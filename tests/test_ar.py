@@ -268,3 +268,43 @@ class TestARAlgorithm:
         }
         state2, metrics = jax.jit(algo.train_step)(state, batch)
         assert np.isfinite(float(metrics["loss"]))
+
+
+class TestInt8Decode:
+    def test_quantized_matches_float_approximately(self):
+        from vector_quantization_tpu.models.transformers.llama import (
+            quantize_params_int8,
+        )
+
+        tr = LlamaTransformer(**TINY)
+        tr_q = LlamaTransformer(**TINY, quantize=True)
+        tokens = jax.random.randint(jax.random.PRNGKey(0), (2, 8), 0, 64)
+        params = _rand_head(tr.init(jax.random.PRNGKey(1), tokens)["params"])
+        q_params = quantize_params_int8(params)
+        full = tr.apply({"params": params}, tokens)
+        quant = tr_q.apply({"params": q_params}, tokens)
+        # int8 weight-only: small relative error on logits
+        err = np.abs(np.asarray(full) - np.asarray(quant)).mean()
+        ref = np.abs(np.asarray(full)).mean() + 1e-6
+        assert err / ref < 0.1
+
+    def test_quantized_generation_runs(self):
+        from vector_quantization_tpu.models.transformers.llama import (
+            quantize_params_int8,
+        )
+
+        tr_q = LlamaTransformer(**TINY, quantize=True)
+        tokens = jnp.zeros((2, 4), jnp.int32)
+        params = quantize_params_int8(
+            _rand_head(
+                LlamaTransformer(**TINY).init(
+                    jax.random.PRNGKey(0), tokens
+                )["params"]
+            )
+        )
+        cb = TokenCodebook(start=10, size=16)
+        out = generate(
+            tr_q, params, jnp.asarray([[1], [2]]), 6, cb,
+            jax.random.PRNGKey(3),
+        )
+        assert out.shape == (2, 6)

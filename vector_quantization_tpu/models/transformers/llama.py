@@ -30,7 +30,7 @@ from jax.sharding import PartitionSpec as P
 
 from ...registries import TransformerRegistry
 
-__all__ = ["LlamaTransformer", "KVCache", "llama_tp_param_spec"]
+__all__ = ["LlamaTransformer", "KVCache", "Int8Dense", "quantize_params_int8", "llama_tp_param_spec"]
 
 _dense_init = nn.initializers.normal(0.02)
 
@@ -41,6 +41,59 @@ class KVCache(NamedTuple):
     k: jax.Array
     v: jax.Array
     length: jax.Array  # () int32 — number of valid positions
+
+
+class Int8Dense(nn.Module):
+    """Weight-only INT8 linear (no bias): stores an int8 kernel + per-output
+    f32 scale; dequantises at use. Halves/quarters the weight HBM traffic of
+    the memory-bound decode step (the north-star INT8 weight-only AR path).
+    Params convert from a float checkpoint via :func:`quantize_params_int8`.
+    """
+
+    features: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        d = x.shape[-1]
+        w_int8 = self.param(
+            "w_int8",
+            lambda key, shape: jax.random.randint(
+                key, shape, -127, 128, jnp.int8
+            ),
+            (d, self.features),
+        )
+        scale = self.param(
+            "scale", nn.initializers.constant(0.01), (self.features,), jnp.float32
+        )
+        w = w_int8.astype(self.dtype) * scale.astype(self.dtype)
+        return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(
+            x.dtype
+        )
+
+
+def quantize_params_int8(params: Any) -> Any:
+    """Float Llama params → Int8Dense layout (per-output-channel symmetric
+    max-abs scaling) for every projection kernel; embeddings/norms stay f32."""
+    import numpy as np  # host-side conversion
+
+    def convert(tree):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                if set(v) == {"kernel"} and k.endswith("_proj"):
+                    w = np.asarray(v["kernel"], np.float32)
+                    scale = np.abs(w).max(axis=0) / 127.0
+                    scale = np.maximum(scale, 1e-8)
+                    q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+                    out[k] = {"w_int8": q, "scale": scale.astype(np.float32)}
+                else:
+                    out[k] = convert(v)
+            else:
+                out[k] = v
+        return out
+
+    return convert(params)
 
 
 def _rope(x: jax.Array, positions: jax.Array, theta: float = 10000.0) -> jax.Array:
@@ -78,6 +131,18 @@ class LlamaBlock(nn.Module):
     num_heads: int
     ffn_dim: int
     dtype: Any = jnp.float32
+    quantize: bool = False  # INT8 weight-only projections
+
+    def _dense(self, features: int, name: str):
+        if self.quantize:
+            return Int8Dense(features, dtype=self.dtype, name=name)
+        return nn.Dense(
+            features,
+            use_bias=False,
+            kernel_init=_dense_init,
+            dtype=self.dtype,
+            name=name,
+        )
 
     @nn.compact
     def __call__(
@@ -95,9 +160,9 @@ class LlamaBlock(nn.Module):
         h = self.num_heads
         dh = d // h
         y = RMSNorm(dtype=self.dtype, name="input_norm")(x)
-        q = nn.Dense(d, use_bias=False, kernel_init=_dense_init, dtype=self.dtype, name="q_proj")(y)
-        k = nn.Dense(d, use_bias=False, kernel_init=_dense_init, dtype=self.dtype, name="k_proj")(y)
-        v = nn.Dense(d, use_bias=False, kernel_init=_dense_init, dtype=self.dtype, name="v_proj")(y)
+        q = self._dense(d, "q_proj")(y)
+        k = self._dense(d, "k_proj")(y)
+        v = self._dense(d, "v_proj")(y)
         q = q.reshape(b, t, h, dh)
         k = k.reshape(b, t, h, dh)
         v = v.reshape(b, t, h, dh)
@@ -126,17 +191,13 @@ class LlamaBlock(nn.Module):
         probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
         attn = jnp.einsum("bhts,bshd->bthd", probs, v_att)
         attn = attn.reshape(b, t, d)
-        x = x + nn.Dense(
-            d, use_bias=False, kernel_init=_dense_init, dtype=self.dtype, name="o_proj"
-        )(attn)
+        x = x + self._dense(d, "o_proj")(attn)
 
         y = RMSNorm(dtype=self.dtype, name="post_norm")(x)
-        gate = nn.Dense(self.ffn_dim, use_bias=False, kernel_init=_dense_init, dtype=self.dtype, name="gate_proj")(y)
-        up = nn.Dense(self.ffn_dim, use_bias=False, kernel_init=_dense_init, dtype=self.dtype, name="up_proj")(y)
+        gate = self._dense(self.ffn_dim, "gate_proj")(y)
+        up = self._dense(self.ffn_dim, "up_proj")(y)
         y = nn.silu(gate) * up
-        x = x + nn.Dense(
-            d, use_bias=False, kernel_init=_dense_init, dtype=self.dtype, name="down_proj"
-        )(y)
+        x = x + self._dense(d, "down_proj")(y)
         return x, new_cache
 
 
@@ -149,6 +210,7 @@ class LlamaTransformer(nn.Module):
     ffn_dim: int = 2816
     max_length: int = 1024
     dtype: Any = jnp.float32
+    quantize: bool = False  # INT8 weight-only projections (decode serving)
 
     @nn.compact
     def __call__(
@@ -194,6 +256,7 @@ class LlamaTransformer(nn.Module):
                 num_heads=self.num_heads,
                 ffn_dim=self.ffn_dim,
                 dtype=self.dtype,
+                quantize=self.quantize,
                 name=f"layer{i}",
             )(x, positions, mask, layer_cache, offset)
             if upd is not None:
