@@ -50,8 +50,13 @@ class ARAlgorithm(Algorithm):
         cfg_alpha: float = 1.75,
         sampler: Mapping[str, Any] | None = None,
         image_size: int = 256,
+        eval_generate: bool = False,
         **kwargs: Any,
     ) -> None:
+        # eval_generate: run full class-conditional generation during eval
+        # (reference X2I.forward generates in validation for visuals/FID,
+        # x2i.py:79-126); costly, off by default
+        self.eval_generate = eval_generate
         self.ir_model = ModelRegistry.build_or_return(ir)
         codebook_size = self.ir_model.quantizer.codebook_size
         self.num_categories = num_categories
@@ -168,7 +173,34 @@ class ARAlgorithm(Algorithm):
         )
         gt = tokens[:, 1:]
         accuracy = jnp.mean((sampled == gt).astype(jnp.float32))
-        return {"loss": loss, "accuracy": accuracy, "codes": gt}
+        memo = {"loss": loss, "accuracy": accuracy, "codes": gt}
+        if self.eval_generate:
+            memo["generated_image"] = self.generate_step(
+                state, batch["category"], jax.random.fold_in(rng, 2)
+            )
+        return memo
+
+    def half_generate_step(self, state: TrainState, batch, rng):
+        """Regenerate the back half of each image from the GT front half —
+        the reference's 'half_generate' visualization
+        (``vq/algorithms/ar/x2i.py:62-105``)."""
+        tokens = self._tokens(state, batch, rng, train=False)
+        total = self.image_hw * self.image_hw
+        keep = total // 2
+        prefix = tokens[:, : 1 + keep]
+        codes_back = generate(
+            self.model,
+            state.params,
+            prefix,
+            total - keep,
+            self.image_codebook,
+            rng,
+            sampler=self.sampler,
+        )
+        front = self.image_codebook.debias(tokens[:, 1: 1 + keep])
+        codes = jnp.concatenate([front, codes_back], axis=1)
+        codes = codes.reshape(-1, self.image_hw, self.image_hw)
+        return self.decode_image_tokens(state.extra["ir_params"], codes)
 
     def generate_step(self, state: TrainState, category: jax.Array, rng):
         """category (B,) → images (B, H, W, 3) in [-1, 1]."""

@@ -209,13 +209,24 @@ class ReconstructionAlgorithm(Algorithm):
             self.lpips_module = LPIPS()
 
     def _init_lpips(self, extra: dict, rng: jax.Array) -> dict:
-        """LPIPS VGG+lin params are frozen state (loaded from converted
-        weights via load_model_from; random in smoke runs)."""
+        """LPIPS VGG+lin params are frozen state; auto-loaded from
+        ``$PRETRAINED/lpips`` (converted via tools/convert_weights.py) when
+        present, random otherwise (smoke runs)."""
         if self.lpips_module is not None:
+            import os
+
+            from ..utils.flags import Store
+
             dummy = jnp.zeros((1, 32, 32, 3), jnp.float32)
-            extra["lpips_params"] = self.lpips_module.init(
-                rng, dummy, dummy
-            )["params"]
+            params = self.lpips_module.init(rng, dummy, dummy)["params"]
+            pretrained = os.path.join(str(Store.PRETRAINED), "lpips")
+            if os.path.isdir(pretrained):
+                import orbax.checkpoint as ocp
+
+                with ocp.StandardCheckpointer() as saver:
+                    loaded = saver.restore(os.path.abspath(pretrained))
+                params = loaded.get("params", loaded)
+            extra["lpips_params"] = params
         return extra
 
     def init_state(self, rng: jax.Array, batch: Mapping[str, Any]) -> TrainState:

@@ -6,4 +6,10 @@ from .datasets import (
     SplitDataset,
     SyntheticDataset,
 )
+from .domains import (
+    COCODataset,
+    LAIONAestheticsDataset,
+    SAMed2DDataset,
+    SATINDataset,
+)
 from .loader import Batch, DataLoader

@@ -127,6 +127,66 @@ class TensorBoardCallback(BaseCallback):
 
 
 @CallbackRegistry.register()
+class ProfileCallback(BaseCallback):
+    """Capture a jax.profiler trace for steps [start, start+steps)
+    (SURVEY §5 tracing — the TPU answer to the reference's interval logs)."""
+
+    def __init__(self, start: int = 10, steps: int = 5) -> None:
+        self.start = start
+        self.steps = steps
+        self._active = False
+
+    def after_run_iter(self, step: int, metrics: Mapping[str, Any]) -> None:
+        import jax
+
+        if step == self.start and not self._active:
+            jax.profiler.start_trace(
+                os.path.join(self.runner.work_dir, "profile")
+            )
+            self._active = True
+        elif self._active and step >= self.start + self.steps:
+            jax.profiler.stop_trace()
+            self._active = False
+            logger.info(
+                "profiler trace written to %s/profile", self.runner.work_dir
+            )
+
+    def after_run(self) -> None:
+        if self._active:
+            import jax
+
+            jax.profiler.stop_trace()
+            self._active = False
+
+
+@CallbackRegistry.register()
+class SyncCheckCallback(BaseCallback):
+    """DRY_RUN/DEBUG race detector: assert the codebook is replicated
+    bit-identically across devices after each step (reference ``is_sync``
+    asserts before codebook writes)."""
+
+    def __init__(self, path: tuple[str, ...] | None = None) -> None:
+        self.path = tuple(path) if path else None
+
+    def after_run_iter(self, step: int, metrics: Mapping[str, Any]) -> None:
+        from ..utils.debug import assert_replicated
+
+        state = self.runner.state
+        node = state.params
+        path = self.path or getattr(
+            self.runner.algorithm, "codebook_path", None
+        )
+        if path is None:
+            return
+        try:
+            for k in path:
+                node = node[k]
+        except (KeyError, TypeError):
+            return
+        assert_replicated(node, "/".join(path))
+
+
+@CallbackRegistry.register()
 class GitCallback(BaseCallback):
     """Record ``git diff HEAD`` into the work dir (reference GitCallback)."""
 

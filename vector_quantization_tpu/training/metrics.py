@@ -137,13 +137,23 @@ class FIDMetric(BaseMetric):
         self.pred = pred
         self.fid_path = fid_path or getattr(self.dataset, "fid_path", None)
         self.model = InceptionV3Features()
+        if weights is None:
+            import os
+
+            from ..utils.flags import Store
+
+            default = os.path.join(str(Store.PRETRAINED), "inception")
+            if os.path.isdir(default):
+                weights = default
         if weights:
+            import os
+
             import orbax.checkpoint as ocp
 
             with ocp.StandardCheckpointer() as saver:
-                self.params = saver.restore(weights)
-            if "params" in self.params:
-                self.params = self.params["params"]
+                restored = saver.restore(os.path.abspath(weights))
+            self.params = restored.get("params", restored)
+            self.batch_stats = restored.get("batch_stats", {})
         else:
             import numpy as _np
 
