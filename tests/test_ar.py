@@ -200,8 +200,10 @@ IR_CFG = {
 
 class TestARAlgorithm:
     def _algo(self, **kw):
+        # no max_length: let ARAlgorithm size the cache to the sequence
         kw.setdefault("transformer", {"type": "LlamaTransformer", **{
-            k: v for k, v in TINY.items() if k != "vocabulary_size"
+            k: v for k, v in TINY.items()
+            if k not in ("vocabulary_size", "max_length")
         }})
         kw.setdefault("ir", IR_CFG)
         kw.setdefault("num_categories", 10)
@@ -308,3 +310,44 @@ class TestInt8Decode:
             jax.random.PRNGKey(3),
         )
         assert out.shape == (2, 6)
+
+
+class TestAREvalGeneration:
+    def test_eval_generate_with_fid_and_visuals(self, tmp_path):
+        from vector_quantization_tpu.parallel import (
+            DataParallelStrategy,
+            make_mesh,
+        )
+        from vector_quantization_tpu.training import Validator
+
+        algo = TestARAlgorithm()._algo(eval_generate=True)
+        ds = SyntheticDataset(size=8, image_size=32)
+        dl = DataLoader(ds, batch_size=8, num_workers=0)
+        va = Validator(
+            name="ar_gen",
+            algorithm=algo,
+            dataloader=dl,
+            strategy=DataParallelStrategy(make_mesh({"dp": -1})),
+            work_dir=str(tmp_path / "w"),
+            metrics={
+                "fid": {"type": "FIDMetric", "pred": "generated_image"},
+                "accuracy": {"type": "AccuracyMetric"},
+            },
+            visual={"keys": ["generated_image"], "mode": "batched"},
+        )
+        results = va.run()
+        assert np.isfinite(results["fid"])
+        import os
+
+        visuals = os.listdir(os.path.join(va.work_dir, "visuals"))
+        assert any(f.startswith("generated_image") for f in visuals)
+
+    def test_half_generate(self):
+        algo = TestARAlgorithm()._algo()
+        batch = {
+            "image": jnp.zeros((2, 32, 32, 3)),
+            "category": jnp.arange(2),
+        }
+        state = algo.init_state(jax.random.PRNGKey(0), batch)
+        imgs = algo.half_generate_step(state, batch, jax.random.PRNGKey(1))
+        assert imgs.shape == (2, 32, 32, 3)

@@ -115,6 +115,11 @@ def generate(
     """
     sampler = dict(sampler or {})
     b, s = prefix.shape
+    if s + num_tokens > transformer.max_length:
+        raise ValueError(
+            f"generation length {s}+{num_tokens} exceeds the transformer's "
+            f"max_length {transformer.max_length} (KV cache size)"
+        )
     cache = transformer.init_cache(b, dtype=cache_dtype)
     apply = partial(transformer.apply, {"params": params})
 
