@@ -28,7 +28,7 @@ class _GPT2Block(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask, cache_kv=None, offset=None):
+    def __call__(self, x, mask, stacked_kv=None, layer_idx=0, offset=None):
         b, t, d = x.shape
         h = self.num_heads
         dh = d // h
@@ -38,16 +38,21 @@ class _GPT2Block(nn.Module):
         q = q.reshape(b, t, h, dh)
         k = k.reshape(b, t, h, dh)
         v = v.reshape(b, t, h, dh)
-        if cache_kv is not None:
-            k_buf, v_buf = cache_kv
-            k_full = jax.lax.dynamic_update_slice_in_dim(
-                k_buf, k.astype(k_buf.dtype), offset, axis=1
+        if stacked_kv is not None:
+            # in-place stacked-cache scatter (see llama.py LlamaBlock)
+            k_all, v_all = stacked_kv
+            zero = jnp.zeros((), jnp.int32)
+            k_all = jax.lax.dynamic_update_slice(
+                k_all, k[None].astype(k_all.dtype),
+                (layer_idx, zero, offset, zero, zero),
             )
-            v_full = jax.lax.dynamic_update_slice_in_dim(
-                v_buf, v.astype(v_buf.dtype), offset, axis=1
+            v_all = jax.lax.dynamic_update_slice(
+                v_all, v[None].astype(v_all.dtype),
+                (layer_idx, zero, offset, zero, zero),
             )
-            k_att, v_att = k_full.astype(self.dtype), v_full.astype(self.dtype)
-            new_cache = (k_full, v_full)
+            k_att = k_all[layer_idx].astype(self.dtype)
+            v_att = v_all[layer_idx].astype(self.dtype)
+            new_cache = (k_all, v_all)
         else:
             k_att, v_att = k, v
             new_cache = None
@@ -97,17 +102,13 @@ class GPT2Transformer(nn.Module):
             row = jnp.arange(t)[:, None] + offset
             mask = jnp.where(col <= row, 0.0, -1e9)[None, None]
 
-        new_k, new_v = [], []
+        stacked = (cache.k, cache.v) if cache is not None else None
         for i in range(self.num_layers):
-            layer_cache = (
-                (cache.k[i], cache.v[i]) if cache is not None else None
-            )
-            x, upd = _GPT2Block(
+            x, stacked_new = _GPT2Block(
                 num_heads=self.num_heads, dtype=self.dtype, name=f"h{i}"
-            )(x, mask, layer_cache, offset if cache is not None else None)
-            if upd is not None:
-                new_k.append(upd[0])
-                new_v.append(upd[1])
+            )(x, mask, stacked, i, offset if cache is not None else None)
+            if stacked_new is not None:
+                stacked = stacked_new
         x = nn.LayerNorm(dtype=self.dtype, name="ln_f")(x)
         logits = jnp.einsum(
             "btd,vd->btv",
@@ -117,7 +118,7 @@ class GPT2Transformer(nn.Module):
         )  # tied head
         if cache is not None:
             return logits, KVCache(
-                k=jnp.stack(new_k), v=jnp.stack(new_v), length=cache.length + t
+                k=stacked[0], v=stacked[1], length=cache.length + t
             )
         return logits
 

@@ -150,12 +150,15 @@ class LlamaBlock(nn.Module):
         x: jax.Array,
         positions: jax.Array,
         mask: jax.Array,
-        cache_kv: tuple[jax.Array, jax.Array] | None = None,
+        stacked_kv: tuple[jax.Array, jax.Array] | None = None,
+        layer_idx: int = 0,
         offset: jax.Array | None = None,
     ):
-        """x: (B, T, D). mask: (B, 1, T, S) additive. cache_kv: full
-        (B, L_max, H, Dh) k/v buffers holding past positions; the current
-        k/v are scattered in at ``offset`` before attention."""
+        """x: (B, T, D). mask: (B, 1, T, S) additive. stacked_kv: the FULL
+        stacked (L, B, L_max, H, Dh) k/v cache — the block scatters the
+        current k/v at (layer_idx, :, offset) and returns the updated stack,
+        so the update aliases in place when threaded through a lax.scan
+        carry (one small write per step instead of a full-cache copy)."""
         b, t, d = x.shape
         h = self.num_heads
         dh = d // h
@@ -169,17 +172,22 @@ class LlamaBlock(nn.Module):
         q = _rope(q, positions)
         k = _rope(k, positions)
 
-        if cache_kv is not None:
-            k_buf, v_buf = cache_kv
-            # scatter current k/v into the static cache at `offset`
-            k_full = jax.lax.dynamic_update_slice_in_dim(
-                k_buf, k.astype(k_buf.dtype), offset, axis=1
+        if stacked_kv is not None:
+            k_all, v_all = stacked_kv
+            zero = jnp.zeros((), jnp.int32)
+            k_all = jax.lax.dynamic_update_slice(
+                k_all,
+                k[None].astype(k_all.dtype),
+                (layer_idx, zero, offset, zero, zero),
             )
-            v_full = jax.lax.dynamic_update_slice_in_dim(
-                v_buf, v.astype(v_buf.dtype), offset, axis=1
+            v_all = jax.lax.dynamic_update_slice(
+                v_all,
+                v[None].astype(v_all.dtype),
+                (layer_idx, zero, offset, zero, zero),
             )
-            k_att, v_att = k_full.astype(self.dtype), v_full.astype(self.dtype)
-            new_cache = (k_full, v_full)
+            k_att = k_all[layer_idx].astype(self.dtype)
+            v_att = v_all[layer_idx].astype(self.dtype)
+            new_cache = (k_all, v_all)
         else:
             k_att, v_att = k, v
             new_cache = None
@@ -247,21 +255,17 @@ class LlamaTransformer(nn.Module):
             mask = jnp.where(col <= row, 0.0, -1e9)[None, None]
 
         offset = cache.length if cache is not None else None
-        new_k, new_v = [], []
+        stacked = (cache.k, cache.v) if cache is not None else None
         for i in range(self.num_layers):
-            layer_cache = (
-                (cache.k[i], cache.v[i]) if cache is not None else None
-            )
-            x, upd = LlamaBlock(
+            x, stacked_new = LlamaBlock(
                 num_heads=self.num_heads,
                 ffn_dim=self.ffn_dim,
                 dtype=self.dtype,
                 quantize=self.quantize,
                 name=f"layer{i}",
-            )(x, positions, mask, layer_cache, offset)
-            if upd is not None:
-                new_k.append(upd[0])
-                new_v.append(upd[1])
+            )(x, positions, mask, stacked, i, offset)
+            if stacked_new is not None:
+                stacked = stacked_new
 
         x = RMSNorm(dtype=self.dtype, name="final_norm")(x)
         lm_head = self.param(
@@ -278,7 +282,7 @@ class LlamaTransformer(nn.Module):
         )
         if cache is not None:
             new_cache = KVCache(
-                k=jnp.stack(new_k), v=jnp.stack(new_v), length=cache.length + t
+                k=stacked[0], v=stacked[1], length=cache.length + t
             )
             return logits, new_cache
         return logits
