@@ -174,17 +174,27 @@ class LlamaBlock(nn.Module):
 
         if stacked_kv is not None:
             k_all, v_all = stacked_kv
-            zero = jnp.zeros((), jnp.int32)
-            k_all = jax.lax.dynamic_update_slice(
-                k_all,
-                k[None].astype(k_all.dtype),
-                (layer_idx, zero, offset, zero, zero),
-            )
-            v_all = jax.lax.dynamic_update_slice(
-                v_all,
-                v[None].astype(v_all.dtype),
-                (layer_idx, zero, offset, zero, zero),
-            )
+            if offset is not None and getattr(offset, "ndim", 0) == 1:
+                # per-slot positions (continuous batching): t == 1, each
+                # batch row writes its own cache position
+                k_all = k_all.at[layer_idx, jnp.arange(b), offset].set(
+                    k[:, 0].astype(k_all.dtype)
+                )
+                v_all = v_all.at[layer_idx, jnp.arange(b), offset].set(
+                    v[:, 0].astype(v_all.dtype)
+                )
+            else:
+                zero = jnp.zeros((), jnp.int32)
+                k_all = jax.lax.dynamic_update_slice(
+                    k_all,
+                    k[None].astype(k_all.dtype),
+                    (layer_idx, zero, offset, zero, zero),
+                )
+                v_all = jax.lax.dynamic_update_slice(
+                    v_all,
+                    v[None].astype(v_all.dtype),
+                    (layer_idx, zero, offset, zero, zero),
+                )
             k_att = k_all[layer_idx].astype(self.dtype)
             v_att = v_all[layer_idx].astype(self.dtype)
             new_cache = (k_all, v_all)
@@ -225,11 +235,16 @@ class LlamaTransformer(nn.Module):
         self,
         tokens: jax.Array,
         cache: KVCache | None = None,
+        slot_positions: jax.Array | None = None,
     ):
         """Training/prefill: tokens (B, T) → logits (B, T, V).
 
         With ``cache``: incremental decode — tokens are the NEW positions
         (cache.length gives the offset); returns (logits, new_cache).
+
+        With ``slot_positions`` (B,) int32 (requires cache and T == 1):
+        continuous-batching mode — every batch slot decodes at its OWN
+        position (new requests prefill at 0 while others are mid-image).
         """
         b, t = tokens.shape
         emb = self.param(
@@ -245,6 +260,15 @@ class LlamaTransformer(nn.Module):
             # causal mask
             causal = jnp.tril(jnp.ones((t, t), jnp.bool_))
             mask = jnp.where(causal, 0.0, -1e9)[None, None]
+            offset = None
+        elif slot_positions is not None:
+            assert t == 1, "slot_positions requires single-token decode"
+            positions = slot_positions[:, None]  # (B, 1)
+            s = cache.k.shape[2]
+            col = jnp.arange(s)[None, None, None, :]  # (1,1,1,S)
+            row = slot_positions[:, None, None, None]  # (B,1,1,1)
+            mask = jnp.where(col <= row, 0.0, -1e9)
+            offset = slot_positions
         else:
             offset = cache.length
             positions = jnp.broadcast_to(jnp.arange(t) + offset, (b, t))
@@ -253,8 +277,6 @@ class LlamaTransformer(nn.Module):
             col = jnp.arange(s)[None, :]
             row = jnp.arange(t)[:, None] + offset
             mask = jnp.where(col <= row, 0.0, -1e9)[None, None]
-
-        offset = cache.length if cache is not None else None
         stacked = (cache.k, cache.v) if cache is not None else None
         for i in range(self.num_layers):
             x, stacked_new = LlamaBlock(
