@@ -55,6 +55,8 @@ class Int8Dense(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        from ...ops.int8_matmul import int8_matmul
+
         d = x.shape[-1]
         w_int8 = self.param(
             "w_int8",
@@ -66,10 +68,7 @@ class Int8Dense(nn.Module):
         scale = self.param(
             "scale", nn.initializers.constant(0.01), (self.features,), jnp.float32
         )
-        w = w_int8.astype(self.dtype) * scale.astype(self.dtype)
-        return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(
-            x.dtype
-        )
+        return int8_matmul(x, w_int8, scale).astype(x.dtype)
 
 
 def quantize_params_int8(params: Any) -> Any:
