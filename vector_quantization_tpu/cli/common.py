@@ -48,10 +48,17 @@ def build_parser(description: str) -> argparse.ArgumentParser:
 
 
 def prepare(args: argparse.Namespace) -> Config:
-    logging.basicConfig(
-        level=logging.INFO,
-        format="%(asctime)s %(levelname)s %(message)s",
-    )
+    # Configure the package logger directly: jax/absl may already have
+    # installed a root handler, which turns logging.basicConfig into a
+    # silent no-op (root stays at WARNING and all iter logs vanish).
+    if not logger.handlers:
+        handler = logging.StreamHandler()
+        handler.setFormatter(
+            logging.Formatter("%(asctime)s %(levelname)s %(message)s")
+        )
+        logger.addHandler(handler)
+    logger.setLevel(logging.INFO)
+    logger.propagate = False
     config = load_config(args.config, **parse_kv(args.config_options))
     config.override(parse_kv(args.override))
     config.setdefault("name", args.name)
@@ -65,8 +72,20 @@ def prepare(args: argparse.Namespace) -> Config:
 
 def log_run(work_dir: str, config: Config) -> None:
     """Dump command/config for reproducibility (reference vq.utils.log,
-    misc.py:50-63)."""
+    misc.py:50-63) and tee all run logs into the work dir (the reference's
+    LogCallback file handler)."""
     os.makedirs(work_dir, exist_ok=True)
     with open(os.path.join(work_dir, "run.log"), "a") as f:
         f.write(" ".join(sys.argv) + "\n")
     config.dump(os.path.join(work_dir, "config.json"))
+    log_file = os.path.join(work_dir, "run.log")
+    if not any(
+        isinstance(h, logging.FileHandler)
+        and getattr(h, "baseFilename", None) == log_file
+        for h in logger.handlers
+    ):
+        fh = logging.FileHandler(log_file)
+        fh.setFormatter(
+            logging.Formatter("%(asctime)s %(levelname)s %(message)s")
+        )
+        logger.addHandler(fh)

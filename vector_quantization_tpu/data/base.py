@@ -129,6 +129,11 @@ class BaseDataset(ABC):
     @abstractmethod
     def __getitem__(self, index: int) -> Item: ...
 
+    def native_record(self, index: int) -> tuple[str, str, int] | None:
+        """(path, id_, category) for file-backed items, enabling the native
+        C++ decode fast path (data/native.py); None = Python decode only."""
+        return None
+
     def __iter__(self) -> Iterator[Item]:
         for i in range(len(self)):
             yield self[i]

@@ -70,20 +70,27 @@ class ImageFolderDataset(BaseDataset):
     def __len__(self) -> int:
         return len(self.paths)
 
-    def __getitem__(self, index: int) -> Item:
+    def _record(self, index: int) -> tuple[str, str, int]:
         path = self.paths[index]
+        category = (
+            self.category_index[os.path.basename(os.path.dirname(path))]
+            if self.categorical
+            else -1
+        )
+        id_ = os.path.splitext(os.path.relpath(path, self.root))[0]
+        return path, id_, category
+
+    def __getitem__(self, index: int) -> Item:
+        path, id_, category = self._record(index)
         with Image.open(path) as img:
             img.load()
-            category = (
-                self.category_index[os.path.basename(os.path.dirname(path))]
-                if self.categorical
-                else -1
-            )
-            return self._make_item(
-                os.path.splitext(os.path.relpath(path, self.root))[0],
-                img,
-                category,
-            )
+            return self._make_item(id_, img, category)
+
+    def native_record(self, index: int) -> tuple[str, str, int] | None:
+        path, id_, category = self._record(index)
+        if not path.lower().endswith((".jpg", ".jpeg")):
+            return None
+        return path, id_, category
 
 
 @DatasetRegistry.register()
@@ -168,6 +175,11 @@ class ConcatDataset(BaseDataset):
         prev = 0 if ds_idx == 0 else self._offsets[ds_idx - 1]
         return self.datasets[ds_idx][index - prev]
 
+    def native_record(self, index: int) -> tuple[str, str, int] | None:
+        ds_idx = bisect_right(self._offsets, index)
+        prev = 0 if ds_idx == 0 else self._offsets[ds_idx - 1]
+        return self.datasets[ds_idx].native_record(index - prev)
+
 
 @DatasetRegistry.register()
 class SplitDataset(BaseDataset):
@@ -213,3 +225,6 @@ class SplitDataset(BaseDataset):
 
     def __getitem__(self, index: int) -> Item:
         return self.dataset[self.indices[index]]
+
+    def native_record(self, index: int) -> tuple[str, str, int] | None:
+        return self.dataset.native_record(self.indices[index])

@@ -12,6 +12,7 @@ Thread-pool prefetch keeps PIL decode off the critical path.
 
 from __future__ import annotations
 
+import logging
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
@@ -19,7 +20,10 @@ from typing import Any, Iterator
 
 import numpy as np
 
-from .base import BaseDataset, Item
+logger = logging.getLogger("vector_quantization_tpu")
+
+from .base import BaseDataset, Item, pixel_encode
+from .native import AUGMENT_CODES, get_decoder
 
 __all__ = ["Batch", "DataLoader"]
 
@@ -54,6 +58,7 @@ class DataLoader:
         prefetch: int = 4,
         num_processes: int | None = None,
         process_index: int | None = None,
+        native: bool = True,
     ) -> None:
         import jax
 
@@ -81,6 +86,7 @@ class DataLoader:
         self.seed = seed
         self.num_workers = num_workers
         self.prefetch = prefetch
+        self.native = native
         self.epoch = 0
 
     def __len__(self) -> int:
@@ -113,12 +119,71 @@ class DataLoader:
             batches.append(local.tolist())
         return batches
 
+    def _item_seed(self, epoch: int, index: int) -> int:
+        """Stable per-(seed, epoch, item) augmentation seed for the native
+        decode path (splitmix-style mix; Python-side so resume at an epoch
+        boundary reproduces the exact augmentation stream)."""
+        z = (
+            self.seed * 0x9E3779B97F4A7C15
+            + epoch * 0xBF58476D1CE4E5B9
+            + index * 0x94D049BB133111EB
+            + 0xD6E8FEB86659FD93
+        ) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        return (z ^ (z >> 31)) & 0xFFFFFFFFFFFFFFFF
+
+    def _load_batch_native(self, idxs: list[int], epoch: int, decoder) -> Batch:
+        """Native C++ decode for file-backed JPEG items, Python fallback for
+        the rest (and for any native decode failure)."""
+        ds = self.dataset
+        records = [ds.native_record(i) for i in idxs]
+        nat = [j for j, r in enumerate(records) if r is not None]
+        items: list[Item | None] = [None] * len(idxs)
+        if nat:
+            imgs, ok = decoder.decode_batch(
+                [records[j][0] for j in nat],
+                ds.image_size,
+                ds.transform.augmentation,
+                [self._item_seed(epoch, idxs[j]) for j in nat],
+            )
+            for k, j in enumerate(nat):
+                if ok[k]:
+                    _, id_, category = records[j]
+                    items[j] = Item(
+                        id_=id_,
+                        original_image=imgs[k],
+                        image=pixel_encode(imgs[k]),
+                        category=category,
+                    )
+        for j, it in enumerate(items):
+            if it is None:
+                items[j] = ds[idxs[j]]
+        return _collate(items)
+
     def __iter__(self) -> Iterator[Batch]:
         batches = self._local_indices()
+        epoch = self.epoch
         self.epoch += 1
+        decoder = None
+        if self.native and self.dataset.transform.augmentation in AUGMENT_CODES:
+            decoder = get_decoder(self.num_workers or None)
+        if (
+            decoder is not None
+            and len(self.dataset)
+            and self.dataset.native_record(0) is None
+        ):
+            decoder = None  # not file-backed (e.g. synthetic): Python path
+        if decoder is not None and self.epoch == 1:
+            logger.info(
+                "data: native decode plane active (%d threads)",
+                decoder.num_threads,
+            )
         if self.num_workers <= 0:
             for idxs in batches:
-                yield _collate([self.dataset[i] for i in idxs])
+                if decoder is not None:
+                    yield self._load_batch_native(idxs, epoch, decoder)
+                else:
+                    yield _collate([self.dataset[i] for i in idxs])
             return
 
         q: "queue.Queue[Any]" = queue.Queue(maxsize=self.prefetch)
@@ -129,8 +194,13 @@ class DataLoader:
                 for idxs in batches:
                     if stop.is_set():
                         break
-                    items = list(pool.map(self.dataset.__getitem__, idxs))
-                    q.put(_collate(items))
+                    if decoder is not None:
+                        q.put(self._load_batch_native(idxs, epoch, decoder))
+                    else:
+                        items = list(
+                            pool.map(self.dataset.__getitem__, idxs)
+                        )
+                        q.put(_collate(items))
             q.put(None)
 
         thread = threading.Thread(target=produce, daemon=True)
