@@ -20,3 +20,6 @@ import jax  # noqa: E402
 # (must happen before any backend is initialised).
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+# NOTE: do NOT enable jax_compilation_cache_dir here — the XLA:CPU AOT
+# loader rejects its own cache entries on this host (machine-feature
+# mismatch spam, SIGILL risk) and the suite is execution-bound anyway.

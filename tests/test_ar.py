@@ -330,7 +330,14 @@ class TestAREvalGeneration:
             strategy=DataParallelStrategy(make_mesh({"dp": -1})),
             work_dir=str(tmp_path / "w"),
             metrics={
-                "fid": {"type": "FIDMetric", "pred": "generated_image"},
+                "fid": {
+                    "type": "FIDMetric",
+                    "pred": "generated_image",
+                    # pixel features: the point here is the generation +
+                    # metric plumbing, not InceptionV3 (tested in
+                    # test_metrics_nets); skips a ~60 s CPU compile
+                    "features": "pixel",
+                },
                 "accuracy": {"type": "AccuracyMetric"},
             },
             visual={"keys": ["generated_image"], "mode": "batched"},

@@ -94,6 +94,9 @@ class TestStyleGAN2Discriminator:
             discriminator={
                 "type": "StyleGAN2Discriminator",
                 "image_size": 32,
+                # reference widths are 512-wide at 32²; R1's double-grad
+                # through that is minutes of pure FLOPs on a CPU test box
+                "max_channels": 32,
             },
         )
         ds = SyntheticDataset(size=16, image_size=32)

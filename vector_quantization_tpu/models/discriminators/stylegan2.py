@@ -125,25 +125,39 @@ def _minibatch_std(
 
 @DiscriminatorRegistry.register()
 class StyleGAN2Discriminator(nn.Module):
+    """channel_multiplier/max_channels scale the width table (the original
+    StyleGAN2 `channel_multiplier` knob; 1.0/512 = reference widths)."""
+
     image_size: int
     batch_groups: int = 4
+    channel_multiplier: float = 1.0
+    max_channels: int = 512
 
     CHANNELS = {
         4: 512, 8: 512, 16: 512, 32: 512, 64: 512,
         128: 256, 256: 128, 512: 64, 1024: 32,
     }
 
+    def _width(self, res: int) -> int:
+        return max(
+            8,
+            min(
+                self.max_channels,
+                int(self.CHANNELS[res] * self.channel_multiplier),
+            ),
+        )
+
     @nn.compact
     def __call__(self, image: jax.Array, train: bool = False) -> jax.Array:
         channels = [
-            self.CHANNELS[2**i]
+            self._width(2**i)
             for i in range(int(math.log2(self.image_size)), 1, -1)
         ]
         x = EqualConv(channels[0], 1, activate=True, name="from_rgb")(image)
         for i, oc in enumerate(channels[1:]):
             x = _Residual(oc, name=f"res{i}")(x)
         x = _minibatch_std(x, self.batch_groups)
-        x = EqualConv(self.CHANNELS[4], 3, activate=True, name="final_conv")(x)
+        x = EqualConv(self._width(4), 3, activate=True, name="final_conv")(x)
         x = x.reshape(x.shape[0], -1)
-        x = EqualLinear(self.CHANNELS[4], activate=True, name="fc1")(x)
+        x = EqualLinear(self._width(4), activate=True, name="fc1")(x)
         return EqualLinear(1, name="fc2")(x)

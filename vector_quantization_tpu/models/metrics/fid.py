@@ -21,17 +21,24 @@ __all__ = ["FIDStatistics", "frechet_distance", "inception_score"]
 
 @dataclasses.dataclass
 class FIDStatistics:
-    """Streaming accumulator for (μ, Σ) of D-dim features."""
+    """Streaming accumulator for (μ, Σ) of D-dim features. ``dim`` is
+    inferred from the first ``update`` when not given (2048 for Inception,
+    anything for alternate feature extractors)."""
 
-    dim: int = 2048
+    dim: int | None = None
 
     def __post_init__(self) -> None:
         self.n = 0
-        self.sum = np.zeros(self.dim, np.float64)
-        self.sum_outer = np.zeros((self.dim, self.dim), np.float64)
+        if self.dim is not None:
+            self.sum = np.zeros(self.dim, np.float64)
+            self.sum_outer = np.zeros((self.dim, self.dim), np.float64)
 
     def update(self, features: np.ndarray) -> None:
         f = np.asarray(features, np.float64)
+        if self.dim is None:
+            self.dim = f.shape[1]
+            self.sum = np.zeros(self.dim, np.float64)
+            self.sum_outer = np.zeros((self.dim, self.dim), np.float64)
         self.n += f.shape[0]
         self.sum += f.sum(axis=0)
         self.sum_outer += f.T @ f

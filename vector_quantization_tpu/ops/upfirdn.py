@@ -69,11 +69,42 @@ def upfirdn2d(
         :,
     ]
 
-    k = jnp.asarray(kernel, x.dtype)
+    k = np.asarray(kernel, np.float32)
     kh, kw = k.shape
-    # depthwise FIR: HWIO with I=1, groups=C; flip for correlation-vs-conv
-    filt = jnp.tile(k[::-1, ::-1][:, :, None, None], (1, 1, 1, c))
-    x = jax.lax.conv_general_dilated(
+
+    # FIR. The blur kernels here are separable (outer(taps, taps)), so the
+    # filter is two 1-D shift-multiply-accumulate passes — pure elementwise
+    # adds that XLA fuses on the VPU. This avoids a depthwise
+    # (feature_group_count=C) convolution, which neither maps onto the MXU
+    # nor has a fast XLA:CPU path (it was ~1000× off speed-of-light there).
+    u, s, vt = np.linalg.svd(k)
+    if kh == 1 or kw == 1 or s[1:].max(initial=0.0) < 1e-6 * s[0]:
+        kr = (u[:, 0] * np.sqrt(s[0])).astype(np.float32)  # vertical taps
+        kc = (vt[0] * np.sqrt(s[0])).astype(np.float32)  # horizontal taps
+        # match the sign convention (SVD may negate both factors)
+        if kr.sum() < 0 and kc.sum() < 0:
+            kr, kc = -kr, -kc
+        # flip: this op applies true convolution with k (the depthwise-conv
+        # formulation used correlation with k[::-1, ::-1])
+        kr, kc = kr[::-1], kc[::-1]
+        h2, w2 = x.shape[1], x.shape[2]
+        acc = kr[0] * x[:, : h2 - kh + 1]
+        for i in range(1, kh):
+            acc = acc + kr[i] * x[:, i: h2 - kh + 1 + i]
+        x = acc
+        acc = kc[0] * x[:, :, : w2 - kw + 1]
+        for j in range(1, kw):
+            acc = acc + kc[j] * x[:, :, j: w2 - kw + 1 + j]
+        x = acc
+        if down > 1:
+            x = x[:, ::down, ::down]
+        return x
+
+    # general (non-separable) kernel: depthwise conv fallback
+    filt = jnp.tile(
+        jnp.asarray(k[::-1, ::-1], x.dtype)[:, :, None, None], (1, 1, 1, c)
+    )
+    return jax.lax.conv_general_dilated(
         x,
         filt,
         window_strides=(down, down),
@@ -81,7 +112,6 @@ def upfirdn2d(
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=c,
     )
-    return x
 
 
 def fused_bias_leaky_relu(

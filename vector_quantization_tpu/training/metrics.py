@@ -117,6 +117,9 @@ class FIDMetric(BaseMetric):
     ``fid_path``: .npz of cached GT stats; defaults to ``dataset.fid_path``.
     When no GT cache exists, GT stats are accumulated from the run's own
     ``original_image`` batches (self-contained small-scale eval).
+    ``features``: "inception" (default) or "pixel" — a trivial
+    downsample+flatten feature map for smoke/DRY_RUN pipelines where
+    compiling InceptionV3 is pure overhead (relative values only).
     """
 
     def __init__(
@@ -125,6 +128,7 @@ class FIDMetric(BaseMetric):
         pred: str = "pred",
         fid_path: str | None = None,
         weights: str | None = None,
+        features: str = "inception",
         **kw,
     ) -> None:
         super().__init__(**kw)
@@ -136,6 +140,19 @@ class FIDMetric(BaseMetric):
 
         self.pred = pred
         self.fid_path = fid_path or getattr(self.dataset, "fid_path", None)
+        if features == "pixel":
+            import jax.image
+
+            self._apply = jax.jit(
+                lambda imgs: jax.image.resize(
+                    imgs.astype(jnp.float32) / 255.0,
+                    (imgs.shape[0], 4, 4, 3),
+                    "linear",
+                ).reshape(imgs.shape[0], -1)
+            )
+            self.pred_stats = FIDStatistics()
+            self.gt_stats = None if self.fid_path else FIDStatistics()
+            return
         self.model = InceptionV3Features()
         if weights is None:
             import os
