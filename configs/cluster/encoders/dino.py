@@ -1,0 +1,14 @@
+# Cluster encoder = frozen DINO ViT-B/16 features
+# (reference configs/cluster/encoders/dino.py).
+runner = dict(
+    algorithm=dict(
+        model=dict(
+            encoder=dict(
+                teacher=dict(_delete_=True, type="DINOTeacher"),
+            ),
+            quantizer=dict(embedding_dim=768),
+        ),
+    ),
+)
+
+_export_ = dict(trainer=runner, validator=runner)

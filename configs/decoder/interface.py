@@ -6,21 +6,29 @@ embedding_dim = _kwargs_.get("embedding_dim", 32)
 image_size = _kwargs_.get("image_size", 224)
 batch_size_in_total = _kwargs_.get("batch_size_in_total", 96)
 max_iters = _kwargs_.get("max_iters", 200_000)
-
-model = dict(
-    type="AutoencoderModel",
-    encoder=dict(
+# frozen-tokenizer knobs (decoder/vqgan.py trains over a VQGAN tokenizer
+# instead of the VQ-KD ViT default)
+encoder = _kwargs_.get(
+    "encoder",
+    dict(
         type="ViTEncoder",
         img_size=image_size,
         patch_size=16,
         out_channels=embedding_dim,
     ),
+)
+distance = _kwargs_.get("distance", "cosine")
+normalize_inputs = _kwargs_.get("normalize_inputs", True)
+
+model = dict(
+    type="AutoencoderModel",
+    encoder=encoder,
     quantizer=dict(
         type="VectorQuantizer",
         codebook_size=codebook_size,
         embedding_dim=embedding_dim,
-        distance="cosine",
-        normalize_inputs=True,
+        distance=distance,
+        normalize_inputs=normalize_inputs,
         codebook_init="normal",
     ),
     pre_decode=dict(type="ConvConnector", out_channels=256),

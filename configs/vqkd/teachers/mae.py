@@ -1,0 +1,9 @@
+# MAE ViT-B/16 teacher (reference configs/vqkd/teachers/mae.py).
+runner = dict(
+    algorithm=dict(
+        teacher=dict(_delete_=True, type="MAETeacher"),
+        model=dict(decoder=dict(out_channels=768)),
+    ),
+)
+
+_export_ = dict(trainer=runner, validator=runner)

@@ -39,9 +39,10 @@ def main(argv=None) -> None:
 
     dataset_cfg = config[args.split]["dataset"]
     dataset = DatasetRegistry.build(dataset_cfg)
+    batch_size = config[args.split].get("fid_batch_size", 64)
+    batch_size = max(1, min(batch_size, len(dataset)))
     loader = DataLoader(
-        dataset, batch_size=config[args.split].get("fid_batch_size", 64),
-        num_workers=8,
+        dataset, batch_size=batch_size, num_workers=8, drop_last=False,
     )
 
     model = InceptionV3Features()

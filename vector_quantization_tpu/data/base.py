@@ -83,11 +83,14 @@ class Transform:
             w, h = img.size
             left, top = (w - s) // 2, (h - s) // 2
             img = img.crop((left, top, left + s, top + s))
-        elif self.augmentation == "default":
+        elif self.augmentation in ("default", "strong"):
+            # RandomResizedCrop + flip; 'strong' narrows the crop scale to
+            # (0.8, 1.0) (reference configs/datasets/transforms/strong.py)
+            lo = 0.8 if self.augmentation == "strong" else 0.08
             w, h = img.size
             area = w * h
             for _ in range(10):
-                target = area * self.rng.uniform(0.08, 1.0)
+                target = area * self.rng.uniform(lo, 1.0)
                 ar = np.exp(self.rng.uniform(np.log(3 / 4), np.log(4 / 3)))
                 cw = int(round(np.sqrt(target * ar)))
                 ch = int(round(np.sqrt(target / ar)))
@@ -97,6 +100,21 @@ class Transform:
                     img = img.crop((left, top, left + cw, top + ch))
                     break
             img = img.resize((s, s), Image.BICUBIC)
+            if self.rng.random() < 0.5:
+                img = img.transpose(Image.FLIP_LEFT_RIGHT)
+        elif self.augmentation == "weak":
+            # Resize shorter side + RandomCrop + flip (reference
+            # configs/datasets/transforms/weak.py)
+            w, h = img.size
+            scale = s / min(w, h)
+            img = img.resize(
+                (max(s, round(w * scale)), max(s, round(h * scale))),
+                Image.BICUBIC,
+            )
+            w, h = img.size
+            left = int(self.rng.integers(0, w - s + 1))
+            top = int(self.rng.integers(0, h - s + 1))
+            img = img.crop((left, top, left + s, top + s))
             if self.rng.random() < 0.5:
                 img = img.transpose(Image.FLIP_LEFT_RIGHT)
         else:

@@ -1,3 +1,3 @@
 from .base import QuantizerOutput
-from .fsq import FiniteScalarQuantizer
+from .fsq import FiniteScalarQuantizer, ScalarQuantizer
 from .vq import VectorQuantizer

@@ -18,7 +18,7 @@ from ...ops import FSQCodec
 from ...registries import QuantizerRegistry
 from .base import QuantizerOutput
 
-__all__ = ["FiniteScalarQuantizer"]
+__all__ = ["FiniteScalarQuantizer", "ScalarQuantizer"]
 
 
 @QuantizerRegistry.register()
@@ -59,3 +59,13 @@ class FiniteScalarQuantizer(nn.Module):
             losses={},
             aux={"x": x},
         )
+
+
+@QuantizerRegistry.register()
+class ScalarQuantizer(FiniteScalarQuantizer):
+    """Scalar quantization (reference ``vq/algorithms/sq/quantizers.py:11-13``
+    — there an empty BaseQuantizer subclass that FSQ *extends*; here the
+    generic round-STE machinery lives in FSQCodec, so the registered parity
+    class shares it with default FSQ levels)."""
+
+    levels: Sequence[int] = (8, 8, 5, 5, 5)
