@@ -105,3 +105,61 @@ class TestDataLoader:
         batches = list(dl)
         assert len(batches) == 3
         assert all(b.image.shape[0] == 4 for b in batches)
+
+
+class TestTransforms:
+    """All four reference augmentation presets
+    (configs/datasets/transforms/{none,default,weak,strong}.py)."""
+
+    @pytest.mark.parametrize(
+        "augmentation", ["none", "default", "weak", "strong"]
+    )
+    def test_output_shape_and_dtype(self, augmentation):
+        from vector_quantization_tpu.data.base import Transform
+
+        t = Transform(32, augmentation, seed=0)
+        img = Image.fromarray(
+            np.random.default_rng(0).integers(
+                0, 255, (50, 70, 3), dtype=np.uint8
+            )
+        )
+        out = t(img)
+        assert out.shape == (32, 32, 3) and out.dtype == np.uint8
+
+    def test_none_is_deterministic(self):
+        from vector_quantization_tpu.data.base import Transform
+
+        img = Image.fromarray(
+            np.random.default_rng(1).integers(
+                0, 255, (50, 70, 3), dtype=np.uint8
+            )
+        )
+        a = Transform(32, "none", seed=0)(img)
+        b = Transform(32, "none", seed=7)(img)
+        np.testing.assert_array_equal(a, b)
+
+    def test_strong_crops_larger_area_than_default(self):
+        # strong's crop-scale floor is 0.8 vs default's 0.08. On an image
+        # that is white only in the center quarter, a >=80%-area crop always
+        # retains most of the white mass, while default's tiny crops often
+        # land almost entirely inside or outside it — so the per-draw mean
+        # brightness varies far more under 'default'.
+        from vector_quantization_tpu.data.base import Transform
+
+        arr = np.zeros((64, 64, 3), np.uint8)
+        arr[16:48, 16:48] = 255
+        img = Image.fromarray(arr)
+
+        def mean_spread(aug):
+            means = [
+                Transform(32, aug, seed=s)(img).mean() for s in range(40)
+            ]
+            return np.std(means)
+
+        assert mean_spread("default") > 2.0 * mean_spread("strong")
+
+    def test_unknown_augmentation_raises(self):
+        from vector_quantization_tpu.data.base import Transform
+
+        with pytest.raises(ValueError):
+            Transform(32, "nope")(Image.new("RGB", (40, 40)))

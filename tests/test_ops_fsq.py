@@ -70,3 +70,23 @@ def test_quantization_is_nearest_lattice_point():
     lattice = np.asarray(codec.embeddings())
     for row in np.asarray(z):
         assert any(np.allclose(row, lp, atol=1e-5) for lp in lattice)
+
+
+def test_scalar_quantizer_registered_and_quantizes():
+    """ScalarQuantizer parity class (reference vq/algorithms/sq/
+    quantizers.py:11-13) shares the FSQ round-STE machinery."""
+    import jax
+    import jax.numpy as jnp
+
+    from vector_quantization_tpu.models.quantizers import ScalarQuantizer
+    from vector_quantization_tpu.registries import QuantizerRegistry
+
+    q = QuantizerRegistry.build({"type": "ScalarQuantizer"})
+    assert isinstance(q, ScalarQuantizer)
+    assert q.codebook_size == 8 * 8 * 5 * 5 * 5
+    x = jax.random.normal(jax.random.PRNGKey(0), (16, q.embedding_dim))
+    out = q(x)
+    assert out.codes.shape == (16,)
+    assert (out.codes >= 0).all() and (out.codes < q.codebook_size).all()
+    # decoding the emitted code ids reproduces the quantized latents
+    assert jnp.allclose(q.decode(out.codes), out.z, atol=1e-5)
