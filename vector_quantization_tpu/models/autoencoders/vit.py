@@ -80,7 +80,9 @@ class _Block(nn.Module):
         y = nn.Dense(
             int(d * self.mlp_ratio), kernel_init=_trunc, dtype=self.dtype, name="fc1"
         )(y)
-        y = nn.gelu(y)
+        # exact (erf) GELU — torch nn.GELU, what BEiT/timm use; the tanh
+        # approximation drifts converted-checkpoint activations by ~1e-3
+        y = nn.gelu(y, approximate=False)
         y = nn.Dense(d, kernel_init=_trunc, dtype=self.dtype, name="fc2")(y)
         return x + y
 

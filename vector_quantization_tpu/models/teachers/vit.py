@@ -34,10 +34,11 @@ class _TeacherViT(nn.Module):
     embed_dim: int
     depth: int
     num_heads: int
-    act: str = "gelu"  # 'gelu' | 'quick_gelu' (CLIP)
+    act: str = "gelu"  # 'gelu' (exact/erf, torch nn.GELU) | 'quick_gelu' (CLIP)
     pre_norm: bool = False  # CLIP ln_pre
     final_norm: bool = True
     proj_dim: int | None = None  # CLIP projection
+    ln_eps: float = 1e-6  # timm/torchvision ViTs; CLIP uses torch's 1e-5
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -45,7 +46,9 @@ class _TeacherViT(nn.Module):
         b, hh, ww, _ = x.shape
         p = self.patch_size
         h, w = hh // p, ww // p
-        act = _quick_gelu if self.act == "quick_gelu" else nn.gelu
+        act = _quick_gelu if self.act == "quick_gelu" else (
+            lambda v: nn.gelu(v, approximate=False)
+        )
         x = nn.Conv(
             self.embed_dim,
             (p, p),
@@ -73,16 +76,16 @@ class _TeacherViT(nn.Module):
         )
         x = x + pos.astype(self.dtype)
         if self.pre_norm:
-            x = nn.LayerNorm(dtype=self.dtype, name="ln_pre")(x)
+            x = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="ln_pre")(x)
         for i in range(self.depth):
-            y = nn.LayerNorm(dtype=self.dtype, name=f"block{i}_norm1")(x)
+            y = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name=f"block{i}_norm1")(x)
             y = nn.MultiHeadDotProductAttention(
                 num_heads=self.num_heads,
                 dtype=self.dtype,
                 name=f"block{i}_attn",
             )(y, y)
             x = x + y
-            y = nn.LayerNorm(dtype=self.dtype, name=f"block{i}_norm2")(x)
+            y = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name=f"block{i}_norm2")(x)
             y = nn.Dense(
                 4 * self.embed_dim, dtype=self.dtype, name=f"block{i}_fc1"
             )(y)
@@ -90,7 +93,7 @@ class _TeacherViT(nn.Module):
             y = nn.Dense(self.embed_dim, dtype=self.dtype, name=f"block{i}_fc2")(y)
             x = x + y
         if self.final_norm:
-            x = nn.LayerNorm(dtype=self.dtype, name="ln_post")(x)
+            x = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="ln_post")(x)
         tokens = x[:, 1:]
         if self.proj_dim is not None:
             proj = self.param(
@@ -115,6 +118,7 @@ class ViTTeacher(BaseTeacher):
     pre_norm: bool = False
     final_norm: bool = True
     proj_dim: int | None = None
+    ln_eps: float = 1e-6
 
     @property
     def out_channels(self) -> int:
@@ -134,6 +138,7 @@ class ViTTeacher(BaseTeacher):
             pre_norm=self.pre_norm,
             final_norm=self.final_norm,
             proj_dim=self.proj_dim,
+            ln_eps=self.ln_eps,
             name="backbone",
         )(image)
 
@@ -147,6 +152,7 @@ class CLIPTeacher(ViTTeacher):
     act: str = "quick_gelu"
     pre_norm: bool = True
     proj_dim: int | None = 512  # with_proj variant; None = wo_proj
+    ln_eps: float = 1e-5  # OpenAI CLIP uses torch nn.LayerNorm default
 
 
 @TeacherRegistry.register()

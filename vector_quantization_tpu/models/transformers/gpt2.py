@@ -32,7 +32,7 @@ class _GPT2Block(nn.Module):
         b, t, d = x.shape
         h = self.num_heads
         dh = d // h
-        y = nn.LayerNorm(dtype=self.dtype, name="ln_1")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_1")(x)
         qkv = nn.Dense(3 * d, kernel_init=_init, dtype=self.dtype, name="c_attn")(y)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(b, t, h, dh)
@@ -64,7 +64,7 @@ class _GPT2Block(nn.Module):
         x = x + nn.Dense(
             d, kernel_init=_init, dtype=self.dtype, name="c_proj"
         )(attn)
-        y = nn.LayerNorm(dtype=self.dtype, name="ln_2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_2")(x)
         y = nn.Dense(4 * d, kernel_init=_init, dtype=self.dtype, name="mlp_fc")(y)
         y = nn.gelu(y)
         y = nn.Dense(d, kernel_init=_init, dtype=self.dtype, name="mlp_proj")(y)
@@ -109,7 +109,7 @@ class GPT2Transformer(nn.Module):
             )(x, mask, stacked, i, offset if cache is not None else None)
             if stacked_new is not None:
                 stacked = stacked_new
-        x = nn.LayerNorm(dtype=self.dtype, name="ln_f")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_f")(x)
         logits = jnp.einsum(
             "btd,vd->btv",
             x.astype(jnp.float32),

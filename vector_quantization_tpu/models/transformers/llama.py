@@ -111,7 +111,7 @@ def _rope(x: jax.Array, positions: jax.Array, theta: float = 10000.0) -> jax.Arr
 
 
 class RMSNorm(nn.Module):
-    eps: float = 1e-5
+    eps: float = 1e-6  # HF LlamaConfig.rms_norm_eps default
     dtype: Any = jnp.float32
 
     @nn.compact
