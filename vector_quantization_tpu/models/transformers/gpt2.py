@@ -41,15 +41,24 @@ class _GPT2Block(nn.Module):
         if stacked_kv is not None:
             # in-place stacked-cache scatter (see llama.py LlamaBlock)
             k_all, v_all = stacked_kv
-            zero = jnp.zeros((), jnp.int32)
-            k_all = jax.lax.dynamic_update_slice(
-                k_all, k[None].astype(k_all.dtype),
-                (layer_idx, zero, offset, zero, zero),
-            )
-            v_all = jax.lax.dynamic_update_slice(
-                v_all, v[None].astype(v_all.dtype),
-                (layer_idx, zero, offset, zero, zero),
-            )
+            if offset is not None and getattr(offset, "ndim", 0) == 1:
+                # per-slot positions (continuous batching): t == 1
+                k_all = k_all.at[layer_idx, jnp.arange(b), offset].set(
+                    k[:, 0].astype(k_all.dtype)
+                )
+                v_all = v_all.at[layer_idx, jnp.arange(b), offset].set(
+                    v[:, 0].astype(v_all.dtype)
+                )
+            else:
+                zero = jnp.zeros((), jnp.int32)
+                k_all = jax.lax.dynamic_update_slice(
+                    k_all, k[None].astype(k_all.dtype),
+                    (layer_idx, zero, offset, zero, zero),
+                )
+                v_all = jax.lax.dynamic_update_slice(
+                    v_all, v[None].astype(v_all.dtype),
+                    (layer_idx, zero, offset, zero, zero),
+                )
             k_att = k_all[layer_idx].astype(self.dtype)
             v_att = v_all[layer_idx].astype(self.dtype)
             new_cache = (k_all, v_all)
@@ -81,7 +90,15 @@ class GPT2Transformer(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, tokens: jax.Array, cache: KVCache | None = None):
+    def __call__(
+        self,
+        tokens: jax.Array,
+        cache: KVCache | None = None,
+        slot_positions: jax.Array | None = None,
+    ):
+        """Same decode interface as LlamaTransformer: full-sequence forward,
+        incremental KV-cache decode, or per-slot continuous-batching decode
+        (``slot_positions`` (B,) int32 with T == 1)."""
         b, t = tokens.shape
         wte = self.param(
             "wte", _init, (self.vocabulary_size, self.hidden_size), jnp.float32
@@ -89,18 +106,30 @@ class GPT2Transformer(nn.Module):
         wpe = self.param(
             "wpe", _init, (self.max_length, self.hidden_size), jnp.float32
         )
-        offset = cache.length if cache is not None else jnp.zeros((), jnp.int32)
-        pos = jax.lax.dynamic_slice_in_dim(wpe, offset, t, axis=0)
-        x = (wte[tokens] + pos[None]).astype(self.dtype)
-
-        if cache is None:
-            causal = jnp.tril(jnp.ones((t, t), jnp.bool_))
-            mask = jnp.where(causal, 0.0, -1e9)[None, None]
-        else:
+        if slot_positions is not None:
+            assert cache is not None and t == 1, (
+                "slot_positions requires a cache and single-token decode"
+            )
+            pos = wpe[slot_positions][:, None]  # (B, 1, D)
+            offset = slot_positions
             s = cache.k.shape[2]
-            col = jnp.arange(s)[None, :]
-            row = jnp.arange(t)[:, None] + offset
-            mask = jnp.where(col <= row, 0.0, -1e9)[None, None]
+            col = jnp.arange(s)[None, None, None, :]  # (1,1,1,S)
+            row = slot_positions[:, None, None, None]  # (B,1,1,1)
+            mask = jnp.where(col <= row, 0.0, -1e9)
+        else:
+            offset = (
+                cache.length if cache is not None else jnp.zeros((), jnp.int32)
+            )
+            pos = jax.lax.dynamic_slice_in_dim(wpe, offset, t, axis=0)[None]
+            if cache is None:
+                causal = jnp.tril(jnp.ones((t, t), jnp.bool_))
+                mask = jnp.where(causal, 0.0, -1e9)[None, None]
+            else:
+                s = cache.k.shape[2]
+                col = jnp.arange(s)[None, :]
+                row = jnp.arange(t)[:, None] + offset
+                mask = jnp.where(col <= row, 0.0, -1e9)[None, None]
+        x = (wte[tokens] + pos).astype(self.dtype)
 
         stacked = (cache.k, cache.v) if cache is not None else None
         for i in range(self.num_layers):

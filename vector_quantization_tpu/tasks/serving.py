@@ -6,8 +6,20 @@ where every batch slot tracks its OWN sequence position — new requests
 prefill (class token at position 0) in the same jitted step while other
 slots are mid-image, so the chip never waits for a full batch to finish.
 
-One compiled ``slot_step`` advances all slots by one token per call; the
-host loop drains finished slots and refills them from the request queue.
+Two serving-critical features:
+
+- **CFG serving** (the reference's headline recipe — α=1.75,
+  ``vq/tasks/sequence_modeling/models/samplers.py:75-120``,
+  ``configs/llamagen/ar.py``): each request occupies a PAIR of adjacent
+  slots (even = unconditional token, odd = class token); the decode step
+  mixes the pair's logits ``(1−α)·u + α·c``, samples once and feeds the
+  same token to both lanes.
+- **Multi-step decode between host syncs** (``steps_per_sync``): a jitted
+  ``lax.scan`` advances all slots k tokens per host round trip instead of
+  one, so the host loop no longer bounds throughput at 256 tokens/image.
+  Slots that finish mid-scan simply overshoot (the host discards the
+  excess tokens); the KV cache is sized for the overshoot.
+
 Works with the float or INT8-quantized transformer.
 """
 
@@ -15,13 +27,12 @@ from __future__ import annotations
 
 import dataclasses
 from collections import deque
-from typing import Any, Callable, Mapping
+from typing import Any, Mapping
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.transformers.llama import KVCache
 from ..models.transformers.sampling import sample_tokens
 from .sequence_modeling import TokenCodebook
 
@@ -41,6 +52,11 @@ class ARServer:
     >>> server = ARServer(transformer, params, codebook, image_tokens=256)
     >>> server.submit(category=3)
     >>> finished = server.run_until_drained()
+
+    With ``cfg_alpha`` set (requires ``uncond_token``, normally
+    ``num_categories``), requests occupy slot *pairs* and are sampled from
+    CFG-mixed logits — the server then serves the exact
+    ``configs/llamagen/ar.py`` recipe (α=1.75, top-k 600, top-p 0.92).
     """
 
     def __init__(
@@ -54,48 +70,98 @@ class ARServer:
         sampler: Mapping[str, Any] | None = None,
         seed: int = 0,
         cache_dtype=jnp.bfloat16,
+        cfg_alpha: float | None = None,
+        uncond_token: int | None = None,
+        steps_per_sync: int = 1,
     ) -> None:
+        if cfg_alpha is not None:
+            if uncond_token is None:
+                raise ValueError("cfg_alpha requires uncond_token")
+            if batch_slots % 2:
+                raise ValueError("cfg_alpha requires an even batch_slots")
+        if steps_per_sync < 1:
+            raise ValueError("steps_per_sync must be >= 1")
+        # overshoot room: a slot finishing mid-scan keeps decoding until the
+        # next host sync (class token + image tokens + (k-1) overshoot)
+        needed = 1 + image_tokens + steps_per_sync - 1
+        if transformer.max_length < needed:
+            raise ValueError(
+                f"transformer.max_length {transformer.max_length} < "
+                f"{needed} (1 + image_tokens + steps_per_sync - 1)"
+            )
         self.transformer = transformer
         self.params = params
         self.codebook = image_codebook
         self.image_tokens = image_tokens
         self.batch_slots = batch_slots
         self.sampler = dict(sampler or {})
+        self.cfg_alpha = cfg_alpha
+        self.uncond_token = uncond_token
+        self.steps_per_sync = steps_per_sync
+        self.lanes = 2 if cfg_alpha is not None else 1
+        self.num_requests_slots = batch_slots // self.lanes
         self.rng = jax.random.PRNGKey(seed)
         self.queue: deque[tuple[int, int]] = deque()  # (request_id, category)
-        self.slots = [_Slot() for _ in range(batch_slots)]
+        self.slots = [_Slot() for _ in range(self.num_requests_slots)]
         self._next_id = 0
         self.cache = transformer.init_cache(batch_slots, dtype=cache_dtype)
 
-        # device state: current token + position per slot (inactive slots
-        # idle at position 0 with the uncondition/zero token)
+        # device state mirrors: current token + position per BATCH ROW
+        # (inactive rows idle at position 0 with token 0)
         self.tokens = np.zeros(batch_slots, np.int32)
         self.positions = np.zeros(batch_slots, np.int32)
-        self.active = np.zeros(batch_slots, bool)
+        self.active = np.zeros(self.num_requests_slots, bool)
 
         sampler_cfg = self.sampler
+        lanes = self.lanes
+        alpha = cfg_alpha
 
-        def slot_step(params, cache, tokens, positions, key):
-            logits, cache = transformer.apply(
-                {"params": params},
-                tokens[:, None],
-                cache,
-                slot_positions=positions,
+        def decode(params, cache, tokens, positions, key):
+            """k-step decode scan; returns per-step tokens (k, B)."""
+
+            def body(carry, step_key):
+                cache, tokens, positions = carry
+                logits, cache = transformer.apply(
+                    {"params": params},
+                    tokens[:, None],
+                    cache,
+                    slot_positions=positions,
+                )
+                logits = logits[:, -1]
+                if alpha is not None:
+                    # interleaved pairs: even rows uncond, odd rows cond
+                    mixed = (1.0 - alpha) * logits[0::2] + alpha * logits[1::2]
+                    tok = sample_tokens(
+                        step_key,
+                        mixed,
+                        image_codebook.start,
+                        image_codebook.end,
+                        temperature=sampler_cfg.get("temperature", 1.0),
+                        top_k=sampler_cfg.get("top_k", 0),
+                        top_p=sampler_cfg.get("top_p", 1.0),
+                    )
+                    tok = jnp.repeat(tok, lanes, axis=0)
+                else:
+                    tok = sample_tokens(
+                        step_key,
+                        logits,
+                        image_codebook.start,
+                        image_codebook.end,
+                        temperature=sampler_cfg.get("temperature", 1.0),
+                        top_k=sampler_cfg.get("top_k", 0),
+                        top_p=sampler_cfg.get("top_p", 1.0),
+                    )
+                return (cache, tok, positions + 1), tok
+
+            keys = jax.random.split(key, steps_per_sync)
+            (cache, tokens, positions), toks = jax.lax.scan(
+                body, (cache, tokens, positions), keys
             )
-            next_tokens = sample_tokens(
-                key,
-                logits[:, -1],
-                image_codebook.start,
-                image_codebook.end,
-                temperature=sampler_cfg.get("temperature", 1.0),
-                top_k=sampler_cfg.get("top_k", 0),
-                top_p=sampler_cfg.get("top_p", 1.0),
-            )
-            return next_tokens, cache
+            return toks, cache, tokens, positions
 
-        self._slot_step = jax.jit(slot_step)
+        self._decode = jax.jit(decode, donate_argnums=(1,))
 
-    # -- public api --------------------------------------------------------
+    # -- public api ----------------------------------------------------------
 
     def submit(self, category: int) -> int:
         rid = self._next_id
@@ -108,36 +174,46 @@ class ARServer:
         return len(self.queue) + int(self.active.sum())
 
     def step(self) -> list[tuple[int, np.ndarray]]:
-        """Advance every slot one token; returns finished (request_id, codes)."""
+        """Advance every slot ``steps_per_sync`` tokens (one host sync);
+        returns finished (request_id, codes)."""
         self._fill_slots()
         if not self.active.any():
             return []
         self.rng, key = jax.random.split(self.rng)
-        next_tokens, self.cache = self._slot_step(
+        toks, self.cache, new_tokens, new_positions = self._decode(
             self.params,
             self.cache,
             jnp.asarray(self.tokens),
             jnp.asarray(self.positions),
             key,
         )
-        next_np = np.asarray(next_tokens)
+        toks = np.asarray(toks)  # (k, B)
+        self.tokens = np.array(new_tokens)  # writable host copies
+        self.positions = np.array(new_positions)
 
         finished: list[tuple[int, np.ndarray]] = []
         for i, slot in enumerate(self.slots):
             if not self.active[i]:
+                # idle rows decoded garbage; reset their device mirrors
+                rows = slice(i * self.lanes, (i + 1) * self.lanes)
+                self.tokens[rows] = 0
+                self.positions[rows] = 0
                 continue
-            slot.tokens.append(int(next_np[i]))
-            self.positions[i] += 1
-            self.tokens[i] = next_np[i]
+            row = i * self.lanes + (self.lanes - 1)  # cond lane
+            for s in range(toks.shape[0]):
+                if len(slot.tokens) >= self.image_tokens:
+                    break  # overshoot tokens: discard
+                slot.tokens.append(int(toks[s, row]))
             if len(slot.tokens) >= self.image_tokens:
                 codes = self.codebook.debias(
-                    np.asarray(slot.tokens, np.int32)
+                    np.asarray(slot.tokens[: self.image_tokens], np.int32)
                 )
                 finished.append((slot.request_id, codes))
                 self.active[i] = False
                 self.slots[i] = _Slot()
-                self.positions[i] = 0
-                self.tokens[i] = 0
+                rows = slice(i * self.lanes, (i + 1) * self.lanes)
+                self.tokens[rows] = 0
+                self.positions[rows] = 0
         return finished
 
     def run_until_drained(self, max_steps: int | None = None):
@@ -150,15 +226,21 @@ class ARServer:
                 break
         return out
 
-    # -- internals ---------------------------------------------------------
+    # -- internals -----------------------------------------------------------
 
     def _fill_slots(self) -> None:
-        for i, slot in enumerate(self.slots):
+        for i in range(self.num_requests_slots):
             if self.active[i] or not self.queue:
                 continue
             rid, category = self.queue.popleft()
             self.slots[i] = _Slot(request_id=rid, category=category)
             self.active[i] = True
-            # prefill: the class token enters at position 0 on this step
-            self.tokens[i] = category
-            self.positions[i] = 0
+            # prefill: condition tokens enter at position 0 on this sync
+            base = i * self.lanes
+            if self.lanes == 2:
+                self.tokens[base] = self.uncond_token
+                self.tokens[base + 1] = category
+                self.positions[base : base + 2] = 0
+            else:
+                self.tokens[base] = category
+                self.positions[base] = 0
