@@ -136,6 +136,8 @@ def kmeans_init(
     *,
     normalize_input: bool = True,
     axis_name: str | None = None,
+    max_points: int = 2**20,
+    chunk_elems: int = 2**27,
 ) -> jax.Array:
     """Data-dependent k-means codebook init (VQ-KD lazy init).
 
@@ -143,7 +145,14 @@ def kmeans_init(
     the reference's rank-0 gather + broadcast funnel, every device all-gathers
     the features and runs the identical deterministic k-means, so codebooks
     stay bit-synced with no broadcast step.
-    """
+
+    Memory guard (the reference offloads to CPU when the distance matrix
+    exceeds 2³⁰ elements, ``callbacks.py:86-95``): the feature matrix is
+    capped at ``max_points`` rows (deterministic subsample — k-means init is
+    approximate anyway), and when the (N, K) distance/one-hot intermediates
+    would exceed ``chunk_elems`` elements (default 2²⁷ ≈ 512 MB f32) the
+    assignment + accumulation runs as a ``lax.scan`` over row chunks, so HBM
+    peak stays bounded regardless of global batch size."""
     from .vq_lookup import nearest_codes  # local import to avoid cycle
 
     x = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
@@ -151,20 +160,62 @@ def kmeans_init(
         x = jax.lax.all_gather(x, axis_name).reshape(-1, x.shape[-1])
     if normalize_input:
         x = normalize(x)
-    n = x.shape[0]
+    n, dim = x.shape
+    key, sub_key = jax.random.split(key)
+    if n > max_points:
+        sel = jax.random.choice(sub_key, n, (max_points,), replace=False)
+        x = x[sel]
+        n = max_points
     if n < codebook_size:
         # reference behavior: first n entries get data, the rest keep init
-        pad = jnp.zeros((codebook_size - n, x.shape[1]), x.dtype)
+        pad = jnp.zeros((codebook_size - n, dim), x.dtype)
         return jnp.concatenate([x, pad], axis=0)
     idx = jax.random.choice(key, n, (codebook_size,), replace=False)
     e = x[idx]
 
-    def body(_, e):
-        e = normalize(e)
-        codes = nearest_codes(x, e, "l2")
-        return kmeans_update(
-            e, x, codes, None, normalize_input=False, renormalize=False
+    if n * codebook_size <= chunk_elems:
+
+        def body(_, e):
+            e = normalize(e)
+            codes = nearest_codes(x, e, "l2")
+            return kmeans_update(
+                e, x, codes, None, normalize_input=False, renormalize=False
+            )
+
+    else:
+        chunk = max(128, chunk_elems // codebook_size)
+        num_chunks = -(-n // chunk)
+        n_pad = num_chunks * chunk - n
+        xp = (
+            jnp.concatenate([x, jnp.zeros((n_pad, dim), x.dtype)])
+            if n_pad
+            else x
         )
+        x_chunks = xp.reshape(num_chunks, chunk, dim)
+        # padded rows get code id K → all-zero one-hot → excluded exactly
+        valid = (jnp.arange(num_chunks * chunk) < n).reshape(num_chunks, chunk)
+
+        def body(_, e):
+            e_n = normalize(e)
+
+            def step(carry, inp):
+                counts, sums = carry
+                xc, vc = inp
+                codes = nearest_codes(xc, e_n, "l2")
+                codes = jnp.where(vc, codes, codebook_size)
+                c2, s2 = cluster_stats(xc, codes, codebook_size)
+                return (counts + c2, sums + s2), None
+
+            (counts, sums), _ = jax.lax.scan(
+                step,
+                (
+                    jnp.zeros(codebook_size, jnp.float32),
+                    jnp.zeros((codebook_size, dim), jnp.float32),
+                ),
+                (x_chunks, valid),
+            )
+            centroids = sums / jnp.maximum(counts, 1.0)[:, None]
+            return jnp.where((counts > 0)[:, None], centroids, e_n)
 
     e = jax.lax.fori_loop(0, iters, body, e)
     return normalize(e)

@@ -205,9 +205,14 @@ class Validator(_RunnerBase):
         self.max_iters = n
         for cb in self.callbacks:
             cb.before_run()
+        from ..parallel.mesh import host_local_tree
+
         for i, batch in enumerate(itertools.islice(self.dataloader, n), 1):
             device_batch = self.strategy.shard_batch(_device_batch(batch))
-            memo = eval_fn(self.state, device_batch)
+            # metrics see this process's local rows (multi-host: global
+            # arrays are not np.asarray-able; each host accumulates its
+            # shard and summaries all-reduce — reference metrics.py:50-57)
+            memo = host_local_tree(dict(eval_fn(self.state, device_batch)))
             memo["batch"] = batch
             for m in metric_objs.values():
                 m.update(memo)
