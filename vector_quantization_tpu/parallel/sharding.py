@@ -29,6 +29,7 @@ __all__ = [
     "SingleDeviceStrategy",
     "DataParallelStrategy",
     "FSDPStrategy",
+    "TPStrategy",
     "batch_spec",
     "fsdp_param_spec",
 ]
@@ -68,11 +69,20 @@ class Strategy:
 
     # -- interface ---------------------------------------------------------
 
+    def leaf_sharding(self, path: tuple, leaf: Any) -> NamedSharding:
+        """Sharding rule for one state/param leaf (path-aware so strategies
+        like TP can match parameter names)."""
+        return NamedSharding(self.mesh, P())
+
     def param_sharding(self, params: Any) -> Any:
         """Pytree of NamedSharding matching ``params``."""
-        return jax.tree_util.tree_map(
-            lambda _: NamedSharding(self.mesh, P()), params
-        )
+        return jax.tree_util.tree_map_with_path(self.leaf_sharding, params)
+
+    def state_sharding(self, state: Any) -> Any:
+        """Shardings for a full TrainState (params + mirrored optimizer
+        moments + extra); same rule tree-wide — optimizer state embeds the
+        param tree so name-matching rules apply to moments too."""
+        return jax.tree_util.tree_map_with_path(self.leaf_sharding, state)
 
     def batch_sharding(self) -> NamedSharding:
         return NamedSharding(self.mesh, batch_spec(self.mesh))
@@ -126,13 +136,43 @@ class FSDPStrategy(Strategy):
         self.min_size = min_size
         self.axis = "fsdp" if "fsdp" in mesh.axis_names else "dp"
 
-    def param_sharding(self, params: Any) -> Any:
-        return jax.tree_util.tree_map_with_path(
-            lambda path, leaf: NamedSharding(
-                self.mesh,
-                fsdp_param_spec(
-                    path, leaf, self.mesh, self.axis, self.min_size
-                ),
-            ),
-            params,
+    def leaf_sharding(self, path: tuple, leaf: Any) -> NamedSharding:
+        return NamedSharding(
+            self.mesh,
+            fsdp_param_spec(path, leaf, self.mesh, self.axis, self.min_size),
         )
+
+
+@StrategyRegistry.register()
+class TPStrategy(Strategy):
+    """First-class tensor parallelism for the AR transformer (the north-star
+    sharding beyond the reference's DDP-only parallelism, SURVEY §2.10):
+    Megatron-style column/row-parallel projections + vocab-sharded
+    embeddings/lm_head over the ``tp`` mesh axis, batch over ``dp``.
+
+    Rules come from :func:`..models.transformers.llama.llama_tp_param_spec`
+    (name-matched, so they also hit the mirrored optimizer moments); a tp
+    axis that does not divide the parameter dim falls back to replication
+    (correctness is GSPMD-guaranteed either way — specs only choose layout).
+    """
+
+    def __init__(self, mesh: Mesh, rules: str = "llama") -> None:
+        super().__init__(mesh)
+        if "tp" not in mesh.axis_names:
+            raise ValueError(
+                f"TPStrategy needs a 'tp' mesh axis, got {mesh.axis_names}"
+            )
+        if rules != "llama":
+            raise ValueError(f"unknown TP rule set {rules!r}")
+        from ..models.transformers.llama import llama_tp_param_spec
+
+        self._rule = llama_tp_param_spec
+
+    def leaf_sharding(self, path: tuple, leaf: Any) -> NamedSharding:
+        spec = self._rule(path, leaf)
+        shape = getattr(leaf, "shape", ())
+        n = self.mesh.shape["tp"]
+        for i, axis in enumerate(spec):
+            if axis == "tp" and (i >= len(shape) or shape[i] % n):
+                return NamedSharding(self.mesh, P())
+        return NamedSharding(self.mesh, spec)

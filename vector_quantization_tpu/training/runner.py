@@ -73,11 +73,8 @@ class _RunnerBase:
         with jax.default_device(jax.devices()[0]):
             state = self.algorithm.init_state(rng, batch)
         # place every leaf according to the strategy (params + mirrored
-        # optimizer moments get the same shape-based rule)
-        shardings = jax.tree_util.tree_map(
-            lambda leaf: self.strategy.param_sharding({"x": leaf})["x"],
-            state,
-        )
+        # optimizer moments get the same rule; path-aware for TP)
+        shardings = self.strategy.state_sharding(state)
         self.state = jax.device_put(state, shardings)
         return self.state
 
