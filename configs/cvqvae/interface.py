@@ -4,7 +4,7 @@ codebook_size = _kwargs_.get("codebook_size", 8192)
 embedding_dim = _kwargs_.get("embedding_dim", 256)
 batch_size_in_total = _kwargs_.get("batch_size_in_total", 96)
 max_iters = _kwargs_.get("max_iters", 260_000)
-anchor = _kwargs_.get("anchor", "nearest")  # nearest | multinomial | random
+anchor = _kwargs_.get("anchor", "nearest")  # nearest|multinomial|random|cached
 sync = _kwargs_.get("sync", True)
 
 model = dict(

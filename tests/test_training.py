@@ -257,3 +257,25 @@ class TestMultiHostMetrics:
         for v in (1.0, 2.0, 3.0):
             m.update({"loss": np.float32(v)})
         assert m.summary("loss") == {"loss": 2.0}
+
+
+class TestCachedAnchorTraining:
+    def test_cached_anchor_cache_carried_in_extra(self, tmp_path):
+        tr = _trainer(
+            tmp_path,
+            model_cfg=VQ_MODEL_CFG,
+            max_iters=3,
+            codebook_update={
+                "type": "cvq",
+                "ema_decay": 0.9,
+                "anchor": "cached",
+            },
+        )
+        state = tr.run()
+        assert "anchor_cache" in state.extra
+        cache = np.asarray(state.extra["anchor_cache"])
+        cb = np.asarray(
+            state.params["quantizer"]["codebook"]
+        )
+        assert cache.shape == cb.shape
+        assert np.isfinite(cache).all()

@@ -86,7 +86,7 @@ def apply_codebook_update(
     if kind == "cvq":
         p = extra["probability"]
         d = pairwise_distance(x.reshape(-1, x.shape[-1]), codebook, "l2")
-        new, p = cb_ops.cvq_update(
+        new, p, new_cache = cb_ops.cvq_update(
             codebook,
             p,
             x,
@@ -98,8 +98,11 @@ def apply_codebook_update(
             key=rng,
             sync=cfg.get("sync", True),
             axis_name=None,  # global arrays under pjit
+            anchor_cache=extra.get("anchor_cache"),
         )
         extra["probability"] = p
+        if new_cache is not None:
+            extra["anchor_cache"] = new_cache
         return new, extra
     raise ValueError(f"unknown codebook update {kind!r}")
 
@@ -239,8 +242,15 @@ class ReconstructionAlgorithm(Algorithm):
     def init_extra(self, params: Any) -> dict[str, Any]:
         extra: dict[str, Any] = {}
         if self.codebook_update and self.codebook_update["type"] == "cvq":
-            k = _tree_get(params, self.codebook_path).shape[0]
+            cb = _tree_get(params, self.codebook_path)
+            k = cb.shape[0]
             extra["probability"] = jnp.zeros((k,), jnp.float32)
+            if self.codebook_update.get("anchor") == "cached":
+                # CachedAnchor cross-batch cache, seeded like the
+                # reference's first-step uniform missing-pad
+                extra["anchor_cache"] = jax.random.uniform(
+                    jax.random.PRNGKey(0), cb.shape, jnp.float32
+                )
         if self.lazy_kmeans_init is not None:
             extra["initialized"] = jnp.zeros((), jnp.bool_)
         return extra

@@ -1,5 +1,6 @@
 from .codebook import (
     CodebookState,
+    cached_anchors,
     code_frequency,
     code_histogram,
     cluster_stats,

@@ -37,6 +37,7 @@ __all__ = [
     "nearest_anchors",
     "multinomial_anchors",
     "random_anchors",
+    "cached_anchors",
 ]
 
 
@@ -258,7 +259,8 @@ def multinomial_anchors(
 def random_anchors(
     x: jax.Array, d: jax.Array, key: jax.Array = None
 ) -> jax.Array:
-    """Random permutation/sample of features per code (CachedAnchor's core)."""
+    """Random permutation/sample of features per code (CachedAnchor's core,
+    without the cross-batch cache)."""
     k = d.shape[1]
     n = x.shape[0]
     if n >= k:
@@ -268,11 +270,41 @@ def random_anchors(
     return jnp.concatenate([x, missing], axis=0)
 
 
+def cached_anchors(
+    x: jax.Array, d: jax.Array, key: jax.Array, cache: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """CachedAnchor (reference ``cvqvae/anchors.py:107-166``): anchors are a
+    random sample of K rows from [this batch's features + the PREVIOUS
+    step's anchors], padded with uniform noise when still short; the new
+    anchors become the cache. TPU-native: the cache is a fixed (K, D) array
+    carried in ``state.extra`` (the reference resizes a torch buffer), so
+    shapes stay static under jit — the never-written-yet case is seeded by
+    initialising the cache with uniform noise, matching the reference's
+    missing-pad distribution on the first step.
+
+    Returns (anchors, new_cache)."""
+    k = d.shape[1]
+    n = x.shape[0]
+    noise_key, idx_key = jax.random.split(key)
+    pool = jnp.concatenate([x, cache], axis=0) if n < k else x
+    m = pool.shape[0]
+    if m < k:
+        missing = jax.random.uniform(noise_key, (k - m, x.shape[1]), x.dtype)
+        pool = jnp.concatenate([pool, missing], axis=0)
+        m = k
+    if m == k:
+        idx = jax.random.permutation(idx_key, k)
+    else:
+        idx = jax.random.choice(idx_key, m, (k,), replace=False)
+    anchors = pool[idx]
+    return anchors, jax.lax.stop_gradient(anchors)
+
+
 _ANCHOR_FNS = {
     "nearest": nearest_anchors,
     "multinomial": multinomial_anchors,
     "random": random_anchors,
-}
+}  # "cached" is handled inline in cvq_update (carries a cache)
 
 
 def cvq_update(
@@ -288,14 +320,17 @@ def cvq_update(
     key: jax.Array | None = None,
     sync: bool = True,
     axis_name: str | None = None,
-) -> tuple[jax.Array, jax.Array]:
-    """One CVQ-VAE codebook step → (new_codebook, new_probability).
+    anchor_cache: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array | None]:
+    """One CVQ-VAE codebook step →
+    (new_codebook, new_probability, new_anchor_cache).
 
     Reference ``cvqvae/quantizer_callback.py:75-105`` + ``anchors.py:41-68``:
     synced code frequency → EMA probability; anchors chosen from (optionally
     all-gathered) features; per-code decay blends anchors into dead codes.
     With ``sync=False`` anchors are all-reduce-averaged instead (reference
-    ``anchors.py:64-67``).
+    ``anchors.py:64-67``). ``anchor="cached"`` threads the cross-batch
+    anchor cache (CachedAnchor); the returned cache is None otherwise.
     """
     x = x.reshape(-1, x.shape[-1])
     codes = codes.reshape(-1)
@@ -305,13 +340,19 @@ def cvq_update(
     if sync and axis_name:
         x = jax.lax.all_gather(x, axis_name).reshape(-1, x.shape[-1])
         d = jax.lax.all_gather(d, axis_name).reshape(-1, d.shape[-1])
-    anchors = _ANCHOR_FNS[anchor](x, d, key)
+    new_cache = None
+    if anchor == "cached":
+        if anchor_cache is None:
+            raise ValueError("anchor='cached' requires anchor_cache")
+        anchors, new_cache = cached_anchors(x, d, key, anchor_cache)
+    else:
+        anchors = _ANCHOR_FNS[anchor](x, d, key)
     if not sync and axis_name:
         anchors = jax.lax.pmean(anchors, axis_name)
 
     decay = cvq_decay(p, codebook.shape[0], ema_decay, eps)[:, None]
     new_codebook = ema(codebook, anchors, decay)
-    return new_codebook.astype(codebook.dtype), p
+    return new_codebook.astype(codebook.dtype), p, new_cache
 
 
 class CodebookState(NamedTuple):
