@@ -764,3 +764,109 @@ class TestInception:
             {"params": params, "batch_stats": stats}, jnp.asarray(images)
         )
         _assert_close(got, want, atol=1e-3, rtol=1e-3, what="fid inception")
+
+
+# ===========================================================================
+# BEiT-v2 VQ-KD (hand-written torch fixture, upstream vqkd layout)
+# ===========================================================================
+
+
+class _BeitAttn(nn.Module):
+    def __init__(self, d, heads):
+        super().__init__()
+        self.heads = heads
+        self.qkv = nn.Linear(d, 3 * d, bias=False)
+        self.q_bias = nn.Parameter(torch.zeros(d))
+        self.v_bias = nn.Parameter(torch.randn(d) * 0.02)
+        self.proj = nn.Linear(d, d)
+
+    def forward(self, x):
+        b, n, d = x.shape
+        bias = torch.cat(
+            [self.q_bias, torch.zeros_like(self.v_bias), self.v_bias]
+        )
+        qkv = F.linear(x, self.qkv.weight, bias)
+        qkv = qkv.reshape(b, n, 3, self.heads, -1).permute(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]  # (b, h, n, dh)
+        q = q * (d // self.heads) ** -0.5
+        attn = (q @ k.transpose(-2, -1)).softmax(dim=-1)
+        x = (attn @ v).transpose(1, 2).reshape(b, n, d)
+        return self.proj(x)
+
+
+class _BeitBlock(nn.Module):
+    def __init__(self, d, heads):
+        super().__init__()
+        self.norm1 = nn.LayerNorm(d, eps=1e-6)
+        self.attn = _BeitAttn(d, heads)
+        self.norm2 = nn.LayerNorm(d, eps=1e-6)
+        self.mlp = nn.Module()
+        self.mlp.fc1 = nn.Linear(d, 4 * d)
+        self.mlp.fc2 = nn.Linear(4 * d, d)
+
+    def forward(self, x):
+        x = x + self.attn(self.norm1(x))
+        y = self.mlp.fc2(F.gelu(self.mlp.fc1(self.norm2(x))))
+        return x + y
+
+
+class _BeitViT(nn.Module):
+    def __init__(self, img=16, patch=8, d=32, heads=2, depth=2):
+        super().__init__()
+        n = (img // patch) ** 2
+        self.patch_embed = nn.Module()
+        self.patch_embed.proj = nn.Conv2d(3, d, patch, stride=patch)
+        self.cls_token = nn.Parameter(torch.randn(1, 1, d) * 0.02)
+        self.pos_embed = nn.Parameter(torch.randn(1, n + 1, d) * 0.02)
+        self.blocks = nn.ModuleList(_BeitBlock(d, heads) for _ in range(depth))
+        self.fc_norm = nn.LayerNorm(d, eps=1e-6)
+
+    def forward(self, x):
+        x = self.patch_embed.proj(x)
+        b, d, h, w = x.shape
+        x = x.reshape(b, d, h * w).permute(0, 2, 1)
+        x = torch.cat([self.cls_token.expand(b, -1, -1), x], dim=1)
+        x = x + self.pos_embed
+        for blk in self.blocks:
+            x = blk(x)
+        return self.fc_norm(x[:, 1:])
+
+
+class _BeitVQKD(nn.Module):
+    """Upstream-named fixture: encoder + encode_task_layer + quantize."""
+
+    def __init__(self, d=32, zdim=8, codes=16):
+        super().__init__()
+        self.encoder = _BeitViT(d=d)
+        self.encode_task_layer = nn.Sequential(
+            nn.Linear(d, d), nn.Tanh(), nn.Linear(d, zdim)
+        )
+        self.quantize = nn.Module()
+        self.quantize.embedding = nn.Embedding(codes, zdim)
+
+    def encode_feat(self, x):
+        return self.encode_task_layer(self.encoder(x))
+
+
+class TestBeitVQKD:
+    def test_encoder_parity(self):
+        from vector_quantization_tpu.models.autoencoders.vit import ViTEncoder
+
+        ref = _BeitVQKD().eval()
+        params = converters.convert_beit_vqkd(_sd(ref), with_decoder=False)
+        model = ViTEncoder(
+            img_size=16, patch_size=8, out_channels=8,
+            embed_dim=32, depth=2, num_heads=2,
+        )
+        x = np.random.default_rng(5).normal(size=(2, 16, 16, 3))
+        x = x.astype(np.float32)
+        with torch.no_grad():
+            want = _np(
+                ref.encode_feat(torch.from_numpy(x).permute(0, 3, 1, 2))
+            ).reshape(2, 2, 2, 8)
+        got = model.apply({"params": params["encoder"]}, jnp.asarray(x))
+        _assert_close(got, want, atol=2e-4, rtol=2e-4, what="beit vqkd enc")
+        np.testing.assert_array_equal(
+            params["quantizer"]["codebook"],
+            _np(ref.quantize.embedding.weight),
+        )

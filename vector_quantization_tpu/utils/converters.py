@@ -26,6 +26,7 @@ __all__ = [
     "convert_clip_visual",
     "convert_gpt2",
     "convert_hf_llama",
+    "convert_beit_vqkd",
 ]
 
 
@@ -426,4 +427,88 @@ def convert_hf_llama(sd: Mapping[str, np.ndarray]) -> dict:
             "down_proj": {"kernel": _lin(m[f"{p}.mlp.down_proj.weight"])},
         }
         i += 1
+    return params
+
+
+# ---------------------------------------------------------------------------
+# BEiT-v2 VQ-KD checkpoint → ViTEncoder/ViTDecoder/quantizer
+# ---------------------------------------------------------------------------
+
+
+def _beit_vit(sd: Mapping[str, np.ndarray], prefix: str, task_prefix: str) -> dict:
+    """One BEiT ViT half (upstream keys ``{prefix}.patch_embed.proj...`` +
+    top-level ``{task_prefix}.{0,2}`` task layer) → _ViTBackbone params."""
+    bb: dict[str, Any] = {
+        "patch_embed": {
+            "kernel": _conv(sd[f"{prefix}.patch_embed.proj.weight"]),
+            "bias": sd[f"{prefix}.patch_embed.proj.bias"],
+        },
+        "cls_token": sd[f"{prefix}.cls_token"],
+        "pos_embed": sd[f"{prefix}.pos_embed"],
+        "fc_norm": {
+            "scale": sd[f"{prefix}.fc_norm.weight"],
+            "bias": sd[f"{prefix}.fc_norm.bias"],
+        },
+        "task1": {
+            "kernel": _lin(sd[f"{task_prefix}.0.weight"]),
+            "bias": sd[f"{task_prefix}.0.bias"],
+        },
+        "task2": {
+            "kernel": _lin(sd[f"{task_prefix}.2.weight"]),
+            "bias": sd[f"{task_prefix}.2.bias"],
+        },
+    }
+    i = 0
+    while f"{prefix}.blocks.{i}.norm1.weight" in sd:
+        p = f"{prefix}.blocks.{i}"
+        bb[f"block{i}"] = {
+            "norm1": {
+                "scale": sd[f"{p}.norm1.weight"], "bias": sd[f"{p}.norm1.bias"]
+            },
+            "attn": {
+                "qkv_kernel": _lin(sd[f"{p}.attn.qkv.weight"]),
+                "q_bias": sd[f"{p}.attn.q_bias"],
+                "v_bias": sd[f"{p}.attn.v_bias"],
+                "proj": {
+                    "kernel": _lin(sd[f"{p}.attn.proj.weight"]),
+                    "bias": sd[f"{p}.attn.proj.bias"],
+                },
+            },
+            "norm2": {
+                "scale": sd[f"{p}.norm2.weight"], "bias": sd[f"{p}.norm2.bias"]
+            },
+            "fc1": {
+                "kernel": _lin(sd[f"{p}.mlp.fc1.weight"]),
+                "bias": sd[f"{p}.mlp.fc1.bias"],
+            },
+            "fc2": {
+                "kernel": _lin(sd[f"{p}.mlp.fc2.weight"]),
+                "bias": sd[f"{p}.mlp.fc2.bias"],
+            },
+        }
+        i += 1
+    return {"backbone": bb}
+
+
+def convert_beit_vqkd(
+    sd: Mapping[str, np.ndarray], with_decoder: bool = True
+) -> dict:
+    """BEiT-v2 VQ-KD checkpoint (upstream ``vqkd_encoder...`` layout; the
+    reference converts the same keys in ``tools/convert_checkpoints.py``
+    ``BEiTv2Converter``) → AutoencoderModel(ViTEncoder/ViTDecoder) params."""
+    params: dict[str, Any] = {
+        "encoder": _beit_vit(sd, "encoder", "encode_task_layer"),
+        "quantizer": {"codebook": sd["quantize.embedding.weight"]},
+    }
+    if with_decoder and "decoder.cls_token" in sd:
+        params["decoder"] = _beit_vit(sd, "decoder", "decode_task_layer")
+    if "post_quant_conv.weight" in sd:
+        w = sd["post_quant_conv.weight"]
+        kernel = _conv(w) if w.ndim == 4 else _lin(w)
+        params["pre_decode"] = {
+            "Conv_0" if w.ndim == 4 else "Dense_0": {
+                "kernel": kernel,
+                "bias": sd["post_quant_conv.bias"],
+            }
+        }
     return params
