@@ -93,12 +93,18 @@ def build_optimizer(
     if exclude:
         if params is None:
             raise ValueError("exclude mask needs example params")
-        patterns = [exclude] if isinstance(exclude, str) else list(exclude)
+        # exclude accepts a substring, list of substrings, or a full
+        # NamedParametersFilter spec dict (names/prefixes/suffixes/
+        # contains/regexes — the reference's FreezeMixin filters)
+        from ..utils.filters import mask_tree
 
-        def keep(path, _):
-            s = _path_str(path)
-            return not any(pat in s for pat in patterns)
-
-        mask = jax.tree_util.tree_map_with_path(keep, params)
-        tx = optax.masked(tx, mask)
+        keep = mask_tree(params, exclude, value=False)
+        drop = mask_tree(params, exclude, value=True)
+        # optax.masked passes unmasked leaves' updates through UNCHANGED —
+        # excluded leaves must be explicitly zeroed or the raw gradient
+        # would be applied as the update
+        tx = optax.chain(
+            optax.masked(tx, keep),
+            optax.masked(optax.set_to_zero(), drop),
+        )
     return tx
