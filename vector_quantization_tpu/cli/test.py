@@ -13,10 +13,22 @@ from .common import build_parser, log_run, prepare
 
 
 def main(argv=None) -> None:
-    args = build_parser(__doc__).parse_args(argv)
+    parser = build_parser(__doc__)
+    parser.add_argument(
+        "--visual", default=None,
+        help="regex over memo keys; matching images dump to work_dir/visuals"
+        " (reference --visual, vq/runners/base.py:66-103)",
+    )
+    args = parser.parse_args(argv)
     init_distributed()
     config = prepare(args)
     validator = build_runner(config, "validator")
+    if args.visual:
+        validator.visual = {
+            "pattern": args.visual,
+            "keys": ["pred", "generated_image", "half_generated"],
+            **(validator.visual or {}),
+        }
     if args.work_dir:
         validator.work_dir = args.work_dir
     log_run(validator.work_dir, config)

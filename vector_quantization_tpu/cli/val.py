@@ -90,11 +90,21 @@ class CheckpointMonitor:
 def main(argv=None) -> None:
     parser = build_parser(__doc__)
     parser.add_argument("--max-idle-rounds", type=int, default=None)
+    parser.add_argument(
+        "--visual", default=None,
+        help="regex over memo keys; matching images dump to work_dir/visuals",
+    )
     args = parser.parse_args(argv)
     init_distributed()
     config = prepare(args)
 
     validator = build_runner(config, "validator")
+    if args.visual:
+        validator.visual = {
+            "pattern": args.visual,
+            "keys": ["pred", "generated_image", "half_generated"],
+            **(validator.visual or {}),
+        }
     if args.work_dir:
         validator.work_dir = args.work_dir
     checkpoint_dir = os.path.join(validator.work_dir, "checkpoints")
@@ -115,8 +125,15 @@ def main(argv=None) -> None:
         max_idle_rounds=args.max_idle_rounds
         or (1 if Store.DRY_RUN else None),
     )
+    # --load-from restricts validation to named checkpoints (reference
+    # vq.val --load-from iter_{15..26}0000 semantics; comma-separated here)
+    whitelist = set(args.load_from.split(",")) if args.load_from else None
     for path in monitor:
         tag = os.path.basename(path)
+        if whitelist is not None:
+            if tag not in whitelist:
+                continue
+            whitelist.discard(tag)
         logger.info("validating %s", tag)
         validator.init_state()  # fresh state per checkpoint (vq/val.py:184)
         validator.resume(path)
@@ -126,6 +143,8 @@ def main(argv=None) -> None:
             for k, v in results.items():
                 writer.add_scalar(f"val/{k}", v, step)
             writer.flush()
+        if whitelist is not None and not whitelist:
+            break
 
 
 if __name__ == "__main__":
