@@ -241,3 +241,95 @@ class TestGPT2Serving:
             np.asarray(jnp.stack(outs, 1)), np.asarray(full),
             atol=1e-4, rtol=1e-4,
         )
+
+
+class TestPagedKVCache:
+    """Paged KV pool (north-star serving design; ops/paged_kv.py)."""
+
+    def _transformer(self):
+        tr = LlamaTransformer(**TINY)
+        params = _tiny_params(tr)
+        return tr, params
+
+    def test_paged_decode_matches_static(self):
+        """Slot decode through the page pool must equal the static cache
+        bit-for-bit on the same token sequence."""
+        tr, params = self._transformer()
+        tokens = [3, 1, 30, 4, 9, 22]
+
+        static = tr.init_cache(1, dtype=jnp.float32)
+        want = []
+        for t, tok in enumerate(tokens):
+            logits, static = tr.apply(
+                {"params": params},
+                jnp.array([[tok]], jnp.int32),
+                static,
+                slot_positions=jnp.array([t], jnp.int32),
+            )
+            want.append(np.asarray(logits[:, 0]))
+
+        paged = tr.init_paged_cache(
+            1, num_pages=5, page_size=2, pages_per_slot=4, dtype=jnp.float32
+        )
+        # allocate pages 1..3 for the slot (page 0 = scratch)
+        paged = paged._replace(
+            page_table=jnp.array([[1, 2, 3, 4]], jnp.int32)
+        )
+        got = []
+        for t, tok in enumerate(tokens):
+            logits, paged = tr.apply(
+                {"params": params},
+                jnp.array([[tok]], jnp.int32),
+                paged,
+                slot_positions=jnp.array([t], jnp.int32),
+            )
+            got.append(np.asarray(logits[:, 0]))
+        np.testing.assert_allclose(
+            np.stack(got), np.stack(want), atol=1e-5, rtol=1e-5
+        )
+
+    def _greedy_server(self, paged, **kw):
+        tr, params = self._transformer()
+        cb = TokenCodebook(start=11, size=16)
+        return ARServer(
+            tr, params, cb,
+            image_tokens=6,
+            batch_slots=4,
+            sampler={"temperature": 1e-4},
+            cfg_alpha=1.75,
+            uncond_token=10,
+            steps_per_sync=3,
+            paged=paged,
+            **kw,
+        )
+
+    def test_paged_server_matches_static_server(self):
+        s_static = self._greedy_server(paged=False)
+        s_paged = self._greedy_server(paged=True, page_size=4)
+        for s in (s_static, s_paged):
+            for c in (2, 7, 5):
+                s.submit(category=c)
+        d1 = dict(s_static.run_until_drained())
+        d2 = dict(s_paged.run_until_drained())
+        assert d1.keys() == d2.keys()
+        for rid in d1:
+            np.testing.assert_array_equal(d1[rid], d2[rid])
+
+    def test_undersized_pool_queues_requests(self):
+        # pool holds exactly one CFG request's pages: requests serialize
+        server = self._greedy_server(paged=True, page_size=4)
+        per_request = server.lanes * server.pages_per_slot
+        server2 = self._greedy_server(
+            paged=True, page_size=4, num_pages=1 + per_request
+        )
+        for c in (1, 2, 3):
+            server2.submit(category=c)
+        done = server2.run_until_drained()
+        assert sorted(r for r, _ in done) == [0, 1, 2]
+        # all pages returned to the pool afterwards
+        assert len(server2._free_pages) == server2._total_pages
+        assert server2._pages_reserved == 0
+
+    def test_paged_pool_too_small_rejected(self):
+        with pytest.raises(ValueError):
+            self._greedy_server(paged=True, page_size=4, num_pages=2)

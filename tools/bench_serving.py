@@ -45,6 +45,10 @@ def main() -> None:
     p.add_argument("--layers", type=int, default=24)
     p.add_argument("--int8", action="store_true")
     p.add_argument("--no-cfg", action="store_true")
+    p.add_argument("--paged", action="store_true",
+                   help="page-pooled KV cache (ops/paged_kv.py)")
+    p.add_argument("--page-size", type=int, default=16)
+    p.add_argument("--num-pages", type=int, default=None)
     p.add_argument(
         "--tiny", action="store_true",
         help="tiny model smoke (CPU-runnable validation)",
@@ -85,6 +89,9 @@ def main() -> None:
             cfg_alpha=cfg_alpha,
             uncond_token=None if args.no_cfg else num_categories,
             steps_per_sync=args.steps_per_sync,
+            paged=args.paged,
+            page_size=args.page_size,
+            num_pages=args.num_pages,
         )
         for i in range(n_requests):
             server.submit(category=i % num_categories)
@@ -104,7 +111,9 @@ def main() -> None:
                     "AR serving tokens/s/chip (continuous batching, "
                     f"{'CFG a=1.75' if cfg_alpha else 'no CFG'}, "
                     f"{args.slots} slots, steps_per_sync="
-                    f"{args.steps_per_sync}{', INT8' if args.int8 else ''})"
+                    f"{args.steps_per_sync}"
+                    f"{', paged' if args.paged else ''}"
+                    f"{', INT8' if args.int8 else ''})"
                 ),
                 "tokens_per_s": round(tokens / dt, 1),
                 "images_per_min": round(args.requests / dt * 60.0, 1),

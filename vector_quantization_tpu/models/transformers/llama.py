@@ -171,7 +171,19 @@ class LlamaBlock(nn.Module):
         q = _rope(q, positions)
         k = _rope(k, positions)
 
-        if stacked_kv is not None:
+        from ...ops.paged_kv import PagedKVCache, paged_gather, paged_update
+
+        if isinstance(stacked_kv, PagedKVCache):
+            # paged pool: scatter this token per slot, gather logical keys
+            assert t == 1 and offset is not None and offset.ndim == 1
+            stacked_kv = paged_update(
+                stacked_kv, layer_idx, offset, k[:, 0], v[:, 0]
+            )
+            k_att, v_att = paged_gather(stacked_kv, layer_idx)
+            k_att = k_att.astype(self.dtype)
+            v_att = v_att.astype(self.dtype)
+            new_cache = stacked_kv
+        elif stacked_kv is not None:
             k_all, v_all = stacked_kv
             if offset is not None and getattr(offset, "ndim", 0) == 1:
                 # per-slot positions (continuous batching): t == 1, each
@@ -254,6 +266,9 @@ class LlamaTransformer(nn.Module):
         )
         x = emb[tokens].astype(self.dtype)
 
+        from ...ops.paged_kv import PagedKVCache
+
+        paged = isinstance(cache, PagedKVCache)
         if cache is None:
             positions = jnp.broadcast_to(jnp.arange(t), (b, t))
             # causal mask
@@ -263,12 +278,13 @@ class LlamaTransformer(nn.Module):
         elif slot_positions is not None:
             assert t == 1, "slot_positions requires single-token decode"
             positions = slot_positions[:, None]  # (B, 1)
-            s = cache.k.shape[2]
+            s = cache.logical_length if paged else cache.k.shape[2]
             col = jnp.arange(s)[None, None, None, :]  # (1,1,1,S)
             row = slot_positions[:, None, None, None]  # (B,1,1,1)
             mask = jnp.where(col <= row, 0.0, -1e9)
             offset = slot_positions
         else:
+            assert not paged, "paged cache requires slot_positions decode"
             offset = cache.length
             positions = jnp.broadcast_to(jnp.arange(t) + offset, (b, t))
             # attend to all cache positions < offset + current causal block
@@ -276,7 +292,10 @@ class LlamaTransformer(nn.Module):
             col = jnp.arange(s)[None, :]
             row = jnp.arange(t)[:, None] + offset
             mask = jnp.where(col <= row, 0.0, -1e9)[None, None]
-        stacked = (cache.k, cache.v) if cache is not None else None
+        if paged:
+            stacked = cache
+        else:
+            stacked = (cache.k, cache.v) if cache is not None else None
         for i in range(self.num_layers):
             x, stacked_new = LlamaBlock(
                 num_heads=self.num_heads,
@@ -301,6 +320,8 @@ class LlamaTransformer(nn.Module):
             lm_head,
             preferred_element_type=jnp.float32,
         )
+        if paged:
+            return logits, stacked  # updated PagedKVCache
         if cache is not None:
             new_cache = KVCache(
                 k=stacked[0], v=stacked[1], length=cache.length + t
@@ -315,6 +336,27 @@ class LlamaTransformer(nn.Module):
             k=jnp.zeros(shape, dtype),
             v=jnp.zeros(shape, dtype),
             length=jnp.zeros((), jnp.int32),
+        )
+
+    def init_paged_cache(
+        self,
+        batch: int,
+        num_pages: int,
+        page_size: int,
+        pages_per_slot: int,
+        dtype=jnp.bfloat16,
+    ):
+        from ...ops.paged_kv import init_paged_cache
+
+        return init_paged_cache(
+            self.num_layers,
+            num_pages,
+            page_size,
+            batch,
+            pages_per_slot,
+            self.num_heads,
+            self.hidden_size // self.num_heads,
+            dtype,
         )
 
 

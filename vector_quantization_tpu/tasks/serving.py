@@ -73,6 +73,9 @@ class ARServer:
         cfg_alpha: float | None = None,
         uncond_token: int | None = None,
         steps_per_sync: int = 1,
+        paged: bool = False,
+        page_size: int = 16,
+        num_pages: int | None = None,
     ) -> None:
         if cfg_alpha is not None:
             if uncond_token is None:
@@ -84,7 +87,7 @@ class ARServer:
         # overshoot room: a slot finishing mid-scan keeps decoding until the
         # next host sync (class token + image tokens + (k-1) overshoot)
         needed = 1 + image_tokens + steps_per_sync - 1
-        if transformer.max_length < needed:
+        if not paged and transformer.max_length < needed:
             raise ValueError(
                 f"transformer.max_length {transformer.max_length} < "
                 f"{needed} (1 + image_tokens + steps_per_sync - 1)"
@@ -104,7 +107,37 @@ class ARServer:
         self.queue: deque[tuple[int, int]] = deque()  # (request_id, category)
         self.slots = [_Slot() for _ in range(self.num_requests_slots)]
         self._next_id = 0
-        self.cache = transformer.init_cache(batch_slots, dtype=cache_dtype)
+        self.paged = paged
+        if paged:
+            # paged pool (north-star serving design; ops/paged_kv.py):
+            # page 0 is a reserved scratch page idle rows write into; the
+            # pool defaults to full capacity but can be undersized — new
+            # requests then wait in the queue until pages free up.
+            self.page_size = page_size
+            self.pages_per_slot = -(-needed // page_size)
+            if num_pages is None:
+                num_pages = 1 + batch_slots * self.pages_per_slot
+            min_rows = self.lanes  # one request's rows must fit or deadlock
+            if num_pages < 1 + min_rows * self.pages_per_slot:
+                raise ValueError(
+                    f"num_pages {num_pages} cannot hold even one request "
+                    f"(needs 1 + {min_rows}*{self.pages_per_slot})"
+                )
+            self.cache = transformer.init_paged_cache(
+                batch_slots, num_pages, page_size, self.pages_per_slot,
+                dtype=cache_dtype,
+            )
+            self._free_pages = list(range(num_pages - 1, 0, -1))
+            self._total_pages = num_pages - 1  # page 0 reserved scratch
+            self._pages_reserved = 0
+            self._page_table = np.zeros(
+                (batch_slots, self.pages_per_slot), np.int32
+            )
+            self._row_pages: list[list[int]] = [
+                [] for _ in range(batch_slots)
+            ]
+        else:
+            self.cache = transformer.init_cache(batch_slots, dtype=cache_dtype)
 
         # device state mirrors: current token + position per BATCH ROW
         # (inactive rows idle at position 0 with token 0)
@@ -179,6 +212,8 @@ class ARServer:
         self._fill_slots()
         if not self.active.any():
             return []
+        if self.paged:
+            self._allocate_pages()
         self.rng, key = jax.random.split(self.rng)
         toks, self.cache, new_tokens, new_positions = self._decode(
             self.params,
@@ -198,6 +233,7 @@ class ARServer:
                 rows = slice(i * self.lanes, (i + 1) * self.lanes)
                 self.tokens[rows] = 0
                 self.positions[rows] = 0
+                self._free_slot_pages(i)
                 continue
             row = i * self.lanes + (self.lanes - 1)  # cond lane
             for s in range(toks.shape[0]):
@@ -214,6 +250,7 @@ class ARServer:
                 rows = slice(i * self.lanes, (i + 1) * self.lanes)
                 self.tokens[rows] = 0
                 self.positions[rows] = 0
+                self._free_slot_pages(i)
         return finished
 
     def run_until_drained(self, max_steps: int | None = None):
@@ -228,10 +265,49 @@ class ARServer:
 
     # -- internals -----------------------------------------------------------
 
+    def _allocate_pages(self) -> None:
+        """Grow each active row's page list to cover this sync's writes and
+        push the table to the device cache. Admission control reserves a
+        full request's pages up front, so lazy growth never starves."""
+        k = self.steps_per_sync
+        for row in range(self.batch_slots):
+            if not self.active[row // self.lanes]:
+                continue
+            need = (int(self.positions[row]) + k - 1) // self.page_size + 1
+            pages = self._row_pages[row]
+            while len(pages) < min(need, self.pages_per_slot):
+                pid = self._free_pages.pop()
+                self._page_table[row, len(pages)] = pid
+                pages.append(pid)
+        self.cache = self.cache._replace(
+            page_table=jnp.asarray(self._page_table)
+        )
+
+    def _free_slot_pages(self, slot_idx: int) -> None:
+        if not self.paged:
+            return
+        freed = False
+        for row in range(
+            slot_idx * self.lanes, (slot_idx + 1) * self.lanes
+        ):
+            pages = self._row_pages[row]
+            if pages:
+                self._free_pages.extend(pages)
+                self._row_pages[row] = []
+                self._page_table[row, :] = 0
+                freed = True
+        if freed:
+            self._pages_reserved -= self.lanes * self.pages_per_slot
+
     def _fill_slots(self) -> None:
         for i in range(self.num_requests_slots):
             if self.active[i] or not self.queue:
                 continue
+            if self.paged:
+                request_pages = self.lanes * self.pages_per_slot
+                if self._pages_reserved + request_pages > self._total_pages:
+                    continue  # wait for pages to free up
+                self._pages_reserved += request_pages
             rid, category = self.queue.popleft()
             self.slots[i] = _Slot(request_id=rid, category=category)
             self.active[i] = True
