@@ -218,10 +218,10 @@ def ar_param_bytes(int8: bool) -> float:  # noqa: E302
     ffn = AR_CFG["ffn_dim"]
     vocab = NUM_CATEGORIES + 1 + AR_CODEBOOK
     proj = layers * (4 * d * d + 3 * d * ffn)
-    emb = 2 * vocab * d  # embedding f32 row gather is per-token; lm_head read
+    head = vocab * d  # lm_head is read fully every step (f32 or int8)
     per = 1 if int8 else 2
-    # projections dominate; embeddings/norms stay f32
-    return proj * per + emb * 4
+    # projections dominate; embedding row gathers are per-token (negligible)
+    return proj * per + head * (1 if int8 else 4)
 
 
 def main() -> None:

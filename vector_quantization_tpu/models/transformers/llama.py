@@ -76,18 +76,25 @@ def quantize_params_int8(params: Any) -> Any:
     max-abs scaling) for every projection kernel; embeddings/norms stay f32."""
     import numpy as np  # host-side conversion
 
+    def quant(w):
+        w = np.asarray(w, np.float32)
+        scale = np.maximum(np.abs(w).max(axis=0) / 127.0, 1e-8)
+        q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+        return q, scale.astype(np.float32)
+
     def convert(tree):
         out = {}
         for k, v in tree.items():
             if isinstance(v, dict):
                 if set(v) == {"kernel"} and k.endswith("_proj"):
-                    w = np.asarray(v["kernel"], np.float32)
-                    scale = np.abs(w).max(axis=0) / 127.0
-                    scale = np.maximum(scale, 1e-8)
-                    q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
-                    out[k] = {"w_int8": q, "scale": scale.astype(np.float32)}
+                    q, scale = quant(v["kernel"])
+                    out[k] = {"w_int8": q, "scale": scale}
                 else:
                     out[k] = convert(v)
+            elif k == "lm_head":
+                q, scale = quant(v)
+                out["lm_head_int8"] = q
+                out["lm_head_scale"] = scale
             else:
                 out[k] = v
         return out
@@ -308,18 +315,41 @@ class LlamaTransformer(nn.Module):
                 stacked = stacked_new
 
         x = RMSNorm(dtype=self.dtype, name="final_norm")(x)
-        lm_head = self.param(
-            "lm_head",
-            nn.initializers.zeros,  # reference zeroes the head
-            (self.hidden_size, self.vocabulary_size),
-            jnp.float32,
-        )
-        logits = jnp.einsum(
-            "btd,dv->btv",
-            x.astype(jnp.float32),
-            lm_head,
-            preferred_element_type=jnp.float32,
-        )
+        if self.quantize:
+            # INT8 lm_head: at 17k vocab x 1024 dim the f32 head is ~20% of
+            # the remaining per-step HBM traffic once projections are INT8
+            from ...ops.int8_matmul import int8_matmul
+
+            w_int8 = self.param(
+                "lm_head_int8",
+                nn.initializers.zeros,  # reference zeroes the head
+                (self.hidden_size, self.vocabulary_size),
+                jnp.int8,
+            )
+            head_scale = self.param(
+                "lm_head_scale",
+                nn.initializers.zeros,
+                (self.vocabulary_size,),
+                jnp.float32,
+            )
+            logits = int8_matmul(
+                x.reshape(b * t, self.hidden_size).astype(self.dtype),
+                w_int8,
+                head_scale,
+            ).reshape(b, t, self.vocabulary_size)
+        else:
+            lm_head = self.param(
+                "lm_head",
+                nn.initializers.zeros,  # reference zeroes the head
+                (self.hidden_size, self.vocabulary_size),
+                jnp.float32,
+            )
+            logits = jnp.einsum(
+                "btd,dv->btv",
+                x.astype(jnp.float32),
+                lm_head,
+                preferred_element_type=jnp.float32,
+            )
         if paged:
             return logits, stacked  # updated PagedKVCache
         if cache is not None:
@@ -371,6 +401,8 @@ def llama_tp_param_spec(path: tuple, leaf, axis: str = "tp") -> P:
         return P(axis, None)
     if name.endswith("embedding"):
         return P(axis, None)
-    if name.endswith("lm_head"):
+    if name.endswith("lm_head") or name.endswith("lm_head_int8"):
         return P(None, axis)
+    if name.endswith("lm_head_scale"):
+        return P(axis)
     return P()
