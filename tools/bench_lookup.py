@@ -36,12 +36,16 @@ CHAIN_SHORT, CHAIN_LONG = 2, 8
 
 
 def lookup_chain(fn, n, k, d, chain):
+    # f32 carrier — a bf16 carrier rounds the 1+k*1e-7 multiplier to exactly
+    # 1.0, XLA then proves the body loop-invariant and hoists the lookup out
+    # of the chain (measured: "impossible" TFLOP/s). The f32 multiplier is
+    # representable, so every link really executes.
     @jax.jit
     def chained(x, e):
         def body(i, carry):
             x, acc = carry
-            codes = fn(x, e)
-            x = x * (1.0 + (codes[0] % 3).astype(x.dtype) * 1e-7)
+            codes = fn(x.astype(jnp.bfloat16), e)
+            x = x * (1.0 + (codes[0] % 3).astype(jnp.float32) * 1e-7)
             return (x, acc + codes.sum())
 
         _, acc = jax.lax.fori_loop(
@@ -53,7 +57,7 @@ def lookup_chain(fn, n, k, d, chain):
 
 
 def time_lookup(fn, n, k, d) -> float:
-    x = jax.random.normal(jax.random.PRNGKey(0), (n, d), jnp.bfloat16)
+    x = jax.random.normal(jax.random.PRNGKey(0), (n, d), jnp.float32)
     e = jax.random.normal(jax.random.PRNGKey(1), (k, d), jnp.bfloat16)
 
     def best_of(chain):
