@@ -90,13 +90,15 @@ def convert(family: str, checkpoint: str, options: dict) -> dict:
 
 
 def graft(state, converted: dict):
-    """strict=False merge of the converted tree over the state's params."""
-    from vector_quantization_tpu.training.checkpoints import _merge
+    """strict=False merge of the converted tree over the state's params,
+    re-placed on the params' shardings (sharded FSDP/TP configs would
+    otherwise lose placement — ADVICE r2)."""
+    from vector_quantization_tpu.training.checkpoints import merge_params
 
     params = state.params
     if "generator" not in params and "generator" in converted:
         converted = converted["generator"]
-    return state.replace(params=_merge(params, converted))
+    return state.replace(params=merge_params(params, converted))
 
 
 def compare(

@@ -91,6 +91,18 @@ class VQGANVQKDAlgorithm(VQGANAlgorithm):
         ).get("params", {})
         return state.replace(extra=extra)
 
+    def _augment_generation_out(self, g_params, out, rng) -> dict:
+        # the split generation phase (vqgan.py train_step) bypasses
+        # VQGANVQKDModel.__call__; run the distill branch here so gradients
+        # still flow through the generation loss
+        out["vqkd_pred"] = self.model.apply(
+            {"params": g_params},
+            out["quantizer"].z,
+            method=self.model.vqkd_decode,
+            rngs={"dropout": rng},
+        )
+        return out
+
     def _extra_generation_losses(self, g_params, out, batch, extra) -> dict:
         feats = self.teacher.apply(
             {"params": extra["teacher_params"]},

@@ -48,14 +48,20 @@ class Int8Dense(nn.Module):
     f32 scale; dequantises at use. Halves/quarters the weight HBM traffic of
     the memory-bound decode step (the north-star INT8 weight-only AR path).
     Params convert from a float checkpoint via :func:`quantize_params_int8`.
+
+    ``mode``: "auto" (measured-fastest backend default), "pallas", "xla"
+    (weight-only, bit-identical outputs), or "w8a8" (native int8 MXU dot
+    with dynamic per-row activation quantisation — fastest, small extra
+    quantisation error).
     """
 
     features: int
     dtype: Any = jnp.bfloat16
+    mode: str = "auto"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        from ...ops.int8_matmul import int8_matmul
+        from ...ops.int8_matmul import int8_matmul, int8_matmul_w8a8
 
         d = x.shape[-1]
         w_int8 = self.param(
@@ -68,7 +74,12 @@ class Int8Dense(nn.Module):
         scale = self.param(
             "scale", nn.initializers.constant(0.01), (self.features,), jnp.float32
         )
-        return int8_matmul(x, w_int8, scale).astype(x.dtype)
+        if self.mode == "w8a8":
+            return int8_matmul_w8a8(x, w_int8, scale).astype(x.dtype)
+        use_pallas = None if self.mode == "auto" else (self.mode == "pallas")
+        return int8_matmul(x, w_int8, scale, use_pallas=use_pallas).astype(
+            x.dtype
+        )
 
 
 def quantize_params_int8(params: Any) -> Any:
@@ -138,10 +149,13 @@ class LlamaBlock(nn.Module):
     ffn_dim: int
     dtype: Any = jnp.float32
     quantize: bool = False  # INT8 weight-only projections
+    quantize_mode: str = "auto"
 
     def _dense(self, features: int, name: str):
         if self.quantize:
-            return Int8Dense(features, dtype=self.dtype, name=name)
+            return Int8Dense(
+                features, dtype=self.dtype, mode=self.quantize_mode, name=name
+            )
         return nn.Dense(
             features,
             use_bias=False,
@@ -247,6 +261,7 @@ class LlamaTransformer(nn.Module):
     max_length: int = 1024
     dtype: Any = jnp.float32
     quantize: bool = False  # INT8 weight-only projections (decode serving)
+    quantize_mode: str = "auto"  # "auto" | "pallas" | "xla" | "w8a8"
 
     @nn.compact
     def __call__(
@@ -309,6 +324,7 @@ class LlamaTransformer(nn.Module):
                 ffn_dim=self.ffn_dim,
                 dtype=self.dtype,
                 quantize=self.quantize,
+                quantize_mode=self.quantize_mode,
                 name=f"layer{i}",
             )(x, positions, mask, stacked, i, offset)
             if stacked_new is not None:
@@ -318,7 +334,7 @@ class LlamaTransformer(nn.Module):
         if self.quantize:
             # INT8 lm_head: at 17k vocab x 1024 dim the f32 head is ~20% of
             # the remaining per-step HBM traffic once projections are INT8
-            from ...ops.int8_matmul import int8_matmul
+            from ...ops.int8_matmul import int8_matmul, int8_matmul_w8a8
 
             w_int8 = self.param(
                 "lm_head_int8",
@@ -332,11 +348,19 @@ class LlamaTransformer(nn.Module):
                 (self.vocabulary_size,),
                 jnp.float32,
             )
-            logits = int8_matmul(
-                x.reshape(b * t, self.hidden_size).astype(self.dtype),
-                w_int8,
-                head_scale,
-            ).reshape(b, t, self.vocabulary_size)
+            xh = x.reshape(b * t, self.hidden_size).astype(self.dtype)
+            if self.quantize_mode == "w8a8":
+                logits = int8_matmul_w8a8(xh, w_int8, head_scale)
+            else:
+                use_pallas = (
+                    None
+                    if self.quantize_mode == "auto"
+                    else (self.quantize_mode == "pallas")
+                )
+                logits = int8_matmul(
+                    xh, w_int8, head_scale, use_pallas=use_pallas
+                )
+            logits = logits.reshape(b, t, self.vocabulary_size)
         else:
             lm_head = self.param(
                 "lm_head",

@@ -131,6 +131,12 @@ def _nearest_codes_pallas(
             pltpu.VMEM((block_n, 1), jnp.float32),
             pltpu.VMEM((block_n, 1), jnp.int32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            # n tiles are independent; k is a sequential reduction carried
+            # in scratch — declaring this lets Mosaic double-buffer the
+            # codebook DMA against the distance matmul
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * n_pad * k_pad * d_pad,
             bytes_accessed=(

@@ -99,6 +99,22 @@ def _merge(dst: Any, src: Any) -> Any:
     return src
 
 
+def merge_params(params: Any, src: Any) -> Any:
+    """Public strict=False graft: merge ``src`` leaves over ``params`` and
+    re-place the merged tree on the template's shardings (host numpy leaves
+    would otherwise lose FSDP/TP placement — the reason ``load_model_from``
+    re-device_puts)."""
+    shardings = jax.tree_util.tree_map(
+        lambda x: x.sharding if hasattr(x, "sharding") else None, params
+    )
+    merged = _merge(params, src)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, s) if s is not None else x,
+        merged,
+        shardings,
+    )
+
+
 def load_model_from(paths: str | list[str], params: Any) -> Any:
     """Weights-only multi-file merge (reference strict=False semantics).
 
@@ -107,16 +123,9 @@ def load_model_from(paths: str | list[str], params: Any) -> Any:
     """
     if isinstance(paths, str):
         paths = [paths]
-    shardings = jax.tree_util.tree_map(
-        lambda x: x.sharding if hasattr(x, "sharding") else None, params
-    )
     for path in paths:
         with ocp.StandardCheckpointer() as saver:
             restored = saver.restore(os.path.abspath(path))
         src = restored.get("params", restored)
-        params = _merge(params, src)
-    return jax.tree_util.tree_map(
-        lambda x, s: jax.device_put(x, s) if s is not None else x,
-        params,
-        shardings,
-    )
+        params = merge_params(params, src)
+    return params
