@@ -122,6 +122,40 @@ class TestSampling:
         out = cfg_mix(jnp.concatenate([u, c]), alpha=1.75)
         np.testing.assert_allclose(np.asarray(out), 1 + 1.75 * 2)
 
+    def test_bisection_filter_matches_sort_reference(self):
+        """The threshold-bisection filter must keep exactly the same token
+        set as the sort-based HF reference (which the bisection replaced
+        because lax.top_k cost ~13% of the AR decode step)."""
+
+        def ref_filter(logits, top_k=0, top_p=1.0):
+            v = logits.shape[-1]
+            k = top_k if (top_k and top_k < v) else v
+            if k < v or top_p < 1.0:
+                top_vals, _ = jax.lax.top_k(logits, k)
+                threshold = top_vals[:, -1:]
+                if top_p < 1.0:
+                    probs = jax.nn.softmax(top_vals, axis=-1)
+                    cum = jnp.cumsum(probs, axis=-1)
+                    remove = jnp.concatenate(
+                        [jnp.zeros_like(cum[:, :1], bool),
+                         cum[:, :-1] > top_p],
+                        axis=-1,
+                    )
+                    kept = jnp.where(remove, jnp.inf, top_vals)
+                    p_thr = jnp.min(kept, axis=-1, keepdims=True)
+                    threshold = jnp.maximum(threshold, p_thr)
+                logits = jnp.where(logits < threshold, -1e10, logits)
+            return logits
+
+        rng = np.random.default_rng(0)
+        for trial in range(5):
+            v = 500 + trial * 137
+            logits = jnp.asarray(rng.normal(0, 3, (4, v)).astype(np.float32))
+            for tk, tp in [(0, 0.92), (60, 1.0), (60, 0.92), (7, 0.3)]:
+                a = np.asarray(ref_filter(logits, tk, tp)) > -1e9
+                b = np.asarray(top_k_top_p_filter(logits, tk, tp)) > -1e9
+                np.testing.assert_array_equal(a, b, err_msg=f"{tk=} {tp=}")
+
 
 class TestSequencePacking:
     def test_pack_and_codebook(self):

@@ -159,6 +159,18 @@ def nearest_codes_xla(
     return jnp.argmin(d, axis=-1).astype(jnp.int32)
 
 
+def _default_use_pallas() -> bool:
+    """Shipped dispatch default for :func:`nearest_codes`.
+
+    Measured on v5e (BENCH_r02/r03 artifacts): the XLA distance+argmin path
+    beats the fused Pallas kernel at the flagship and f8 shapes, so the
+    default follows the measurement (VERDICT r2 item 2: ship the measured
+    winner, not the centerpiece). The kernel remains available via
+    ``use_pallas=True`` and is tracked by the bench's microbench entry.
+    """
+    return False
+
+
 def nearest_codes(
     x: jax.Array,
     codebook: jax.Array,
@@ -176,7 +188,7 @@ def nearest_codes(
     elif metric != "l2":
         raise ValueError(f"unknown metric {metric!r}")
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        use_pallas = _default_use_pallas() and jax.default_backend() == "tpu"
     x = jax.lax.stop_gradient(x)
     codebook = jax.lax.stop_gradient(codebook)
     if use_pallas:
