@@ -76,6 +76,7 @@ class ARServer:
         paged: bool = False,
         page_size: int = 16,
         num_pages: int | None = None,
+        strategy: Any | None = None,
     ) -> None:
         if cfg_alpha is not None:
             if uncond_token is None:
@@ -93,6 +94,15 @@ class ARServer:
                 f"{needed} (1 + image_tokens + steps_per_sync - 1)"
             )
         self.transformer = transformer
+        self.strategy = strategy
+        if strategy is not None:
+            # Tensor-parallel serving (north star: "AR transformer weights
+            # tensor-sharded ... continuous batching across hosts"): params
+            # follow the strategy's Megatron-style specs; the KV cache
+            # shards its head dim over tp; host-side small arrays
+            # (tokens/positions/page_table) are replicated. GSPMD inserts
+            # the attention/FFN collectives inside the jitted decode.
+            params = strategy.shard_params(params)
         self.params = params
         self.codebook = image_codebook
         self.image_tokens = image_tokens
@@ -138,6 +148,31 @@ class ARServer:
             ]
         else:
             self.cache = transformer.init_cache(batch_slots, dtype=cache_dtype)
+
+        if strategy is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            mesh = strategy.mesh
+            tp = "tp" if "tp" in mesh.axis_names else None
+            heads = transformer.num_heads
+            kv_spec = NamedSharding(
+                mesh,
+                P(None, None, None, tp, None)
+                if tp and heads % mesh.shape[tp] == 0
+                else P(),
+            )
+            repl = NamedSharding(mesh, P())
+            self._replicated = repl
+
+            def shard_cache(leaf):
+                return jax.device_put(
+                    leaf, kv_spec if getattr(leaf, "ndim", 0) == 5 else repl
+                )
+
+            self.cache = jax.tree_util.tree_map(shard_cache, self.cache)
+            self._put = lambda x: jax.device_put(np.asarray(x), repl)
+        else:
+            self._put = jnp.asarray
 
         # device state mirrors: current token + position per BATCH ROW
         # (inactive rows idle at position 0 with token 0)
@@ -224,7 +259,7 @@ class ARServer:
             need = (max_pos + self.steps_per_sync - 1) // self.page_size + 1
             p_cap = min(self.pages_per_slot, -(-need // 4) * 4)
             cache_in = self.cache._replace(
-                page_table=jnp.asarray(self._page_table[:, :p_cap])
+                page_table=self._put(self._page_table[:, :p_cap])
             )
         else:
             cache_in = self.cache
@@ -232,14 +267,14 @@ class ARServer:
         toks, cache_out, new_tokens, new_positions = self._decode(
             self.params,
             cache_in,
-            jnp.asarray(self.tokens),
-            jnp.asarray(self.positions),
+            self._put(self.tokens),
+            self._put(self.positions),
             key,
         )
         if self.paged:
             # pool buffers are updated in place; restore the full table
             self.cache = cache_out._replace(
-                page_table=jnp.asarray(self._page_table)
+                page_table=self._put(self._page_table)
             )
         else:
             self.cache = cache_out
@@ -301,7 +336,7 @@ class ARServer:
                 self._page_table[row, len(pages)] = pid
                 pages.append(pid)
         self.cache = self.cache._replace(
-            page_table=jnp.asarray(self._page_table)
+            page_table=self._put(self._page_table)
         )
 
     def _free_slot_pages(self, slot_idx: int) -> None:
