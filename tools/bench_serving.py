@@ -26,6 +26,11 @@ import jax.numpy as jnp
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from vector_quantization_tpu.cli.common import honor_env_platform  # noqa: E402
+
+honor_env_platform()
+
+
 from vector_quantization_tpu.models.transformers.llama import (  # noqa: E402
     LlamaTransformer,
     quantize_params_int8,

@@ -32,6 +32,11 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+from vector_quantization_tpu.cli.common import honor_env_platform  # noqa: E402
+
+honor_env_platform()
+
+
 # loose tolerances: smoke-scale GAN training amplifies numeric noise across
 # platforms/compiler versions; these bound "still the same training run"
 CHECK_TOL = {
@@ -150,10 +155,20 @@ def main(argv=None) -> int:
     if args.check:
         published = baseline.get("published", {})
         for family, metrics in measured.items():
-            want = published.get(family, {}).get("metrics")
+            entry = published.get(family, {})
+            want = entry.get("metrics")
             if want is None:
                 print(f"[check] {family}: no recorded entry — run --record")
                 rc = 1
+                continue
+            recorded_platform = entry.get("platform")
+            if recorded_platform and recorded_platform != jax_platform_tag():
+                print(
+                    f"[check] {family}: platform mismatch (recorded on "
+                    f"{recorded_platform!r}, running on "
+                    f"{jax_platform_tag()!r}) — numeric drift expected, "
+                    "skipping gate"
+                )
                 continue
             for key, val in want.items():
                 got = metrics.get(key)

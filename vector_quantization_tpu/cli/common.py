@@ -47,16 +47,20 @@ def build_parser(description: str) -> argparse.ArgumentParser:
     return p
 
 
-def prepare(args: argparse.Namespace) -> Config:
-    # Honor JAX_PLATFORMS explicitly: the axon TPU plugin ignores the env
-    # var, so "JAX_PLATFORMS=cpu ..." would silently run on (or hang
-    # waiting for) the TPU tunnel. The config flag is authoritative; set it
-    # before any backend initialises.
+def honor_env_platform() -> None:
+    """Honor JAX_PLATFORMS explicitly: the axon TPU plugin ignores the env
+    var, so "JAX_PLATFORMS=cpu ..." would silently run on (or hang waiting
+    for) the TPU tunnel. The config flag is authoritative; call before any
+    backend initialises."""
     platforms = os.environ.get("JAX_PLATFORMS")
     if platforms:
         import jax
 
         jax.config.update("jax_platforms", platforms)
+
+
+def prepare(args: argparse.Namespace) -> Config:
+    honor_env_platform()
     # Configure the package logger directly: jax/absl may already have
     # installed a root handler, which turns logging.basicConfig into a
     # silent no-op (root stays at WARNING and all iter logs vanish).

@@ -73,12 +73,19 @@ def _nearest_kernel(x_ref, e_ref, esq_ref, codes_ref, best_ref, idx_ref):
 
 
 def _auto_block_k(k_pad: int, d_pad: int, itemsize: int) -> int:
-    """Largest codebook tile that fits the VMEM budget (~8 MB single-buffer;
-    measured on v5e: one whole-codebook tile beats small tiles by ~1.5×)."""
-    if k_pad * d_pad * itemsize <= 8 * 1024 * 1024:
+    """Codebook tile size. Measured on v5e with
+    ``dimension_semantics=("parallel", "arbitrary")`` (r3 sweep,
+    work_dirs/exp/exp_lookup.py): 2048-row tiles double-buffer the codebook
+    DMA against the distance matmul and beat both the whole-codebook tile
+    (r2's choice — no pipelining, VMEM-pressure spills) and larger tiles:
+    flagship f16 1242.6 vs 1208.4 img/s, f8 2102.9 vs 1776.3."""
+    block = 2048
+    if k_pad <= block:
         return k_pad
-    budget_rows = (4 * 1024 * 1024) // (d_pad * itemsize)
-    return max(512, (budget_rows // 512) * 512)
+    # keep a tile under ~4 MB so two buffers fit VMEM alongside the x tile
+    while block * d_pad * itemsize > 4 * 1024 * 1024 and block > 512:
+        block //= 2
+    return block
 
 
 @functools.partial(jax.jit, static_argnames=("block_n", "block_k", "interpret"))
@@ -162,13 +169,14 @@ def nearest_codes_xla(
 def _default_use_pallas() -> bool:
     """Shipped dispatch default for :func:`nearest_codes`.
 
-    Measured on v5e (BENCH_r02/r03 artifacts): the XLA distance+argmin path
-    beats the fused Pallas kernel at the flagship and f8 shapes, so the
-    default follows the measurement (VERDICT r2 item 2: ship the measured
-    winner, not the centerpiece). The kernel remains available via
-    ``use_pallas=True`` and is tracked by the bench's microbench entry.
+    Measured on v5e (r3 sweep; BENCH_r03): with 2048-row codebook tiles and
+    parallel/arbitrary dimension semantics the fused kernel beats the XLA
+    distance+argmin path end-to-end at both headline shapes — flagship f16
+    1242.6 vs 1205.7 img/s (+3%), LlamaGen f8 2102.9 vs 1785.5 (+18%) —
+    so Pallas is the default on TPU (the r2 default was flipped to XLA when
+    the whole-codebook-tile kernel lost; the measurement decides).
     """
-    return False
+    return True
 
 
 def nearest_codes(

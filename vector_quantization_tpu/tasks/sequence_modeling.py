@@ -105,7 +105,7 @@ def generate(
     sampler: Mapping[str, Any] | None = None,
     cfg_alpha: float | None = None,
     cache_dtype=jnp.bfloat16,
-    kv_segment: int | None = 64,
+    kv_segment: int | None = 32,
 ) -> jax.Array:
     """Jitted AR generation: prefill the prefix, then ``lax.scan`` one token
     at a time through the static KV cache.
@@ -123,6 +123,8 @@ def generate(
     roughly halved. Masked-softmax weights of the dropped rows are exactly
     0.0 (exp underflow), so results match the full-length scan up to bf16
     accumulation order. ``None`` restores the single full-length scan.
+    Measured on v5e (Llama-medium b64, 256 tokens): 10.55k → 13.3k tok/s
+    at 64, +8% more at 32 (BENCH_r03 ar section).
     """
     sampler = dict(sampler or {})
     b, s = prefix.shape
