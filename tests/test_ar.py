@@ -392,3 +392,49 @@ class TestAREvalGeneration:
         state = algo.init_state(jax.random.PRNGKey(0), batch)
         imgs = algo.half_generate_step(state, batch, jax.random.PRNGKey(1))
         assert imgs.shape == (2, 32, 32, 3)
+
+
+class TestFusedProjections:
+    """fused_qkv merges q/k/v and gate/up into single matmuls (decode-time
+    dispatch-count optimization); fuse_llama_params transforms unfused
+    checkpoints and must be bit-exact, float and INT8."""
+
+    KW = dict(
+        vocabulary_size=64, hidden_size=32, num_layers=2, num_heads=2,
+        ffn_dim=48, max_length=16, dtype=jnp.float32,
+    )
+
+    def test_float_bit_exact(self):
+        from vector_quantization_tpu.models.transformers.llama import (
+            LlamaTransformer,
+            fuse_llama_params,
+        )
+
+        tr = LlamaTransformer(**self.KW)
+        trf = LlamaTransformer(fused_qkv=True, **self.KW)
+        params = tr.init(jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32))[
+            "params"
+        ]
+        tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0, 64)
+        a = tr.apply({"params": params}, tokens)
+        b = trf.apply({"params": fuse_llama_params(params)}, tokens)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_int8_bit_exact(self):
+        from vector_quantization_tpu.models.transformers.llama import (
+            LlamaTransformer,
+            fuse_llama_params,
+            quantize_params_int8,
+        )
+
+        tr = LlamaTransformer(**self.KW)
+        params = tr.init(jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32))[
+            "params"
+        ]
+        qp = quantize_params_int8(params)
+        trq = LlamaTransformer(quantize=True, **self.KW)
+        trqf = LlamaTransformer(quantize=True, fused_qkv=True, **self.KW)
+        tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0, 64)
+        a = trq.apply({"params": qp}, tokens)
+        b = trqf.apply({"params": fuse_llama_params(qp)}, tokens)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

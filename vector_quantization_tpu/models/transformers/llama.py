@@ -30,7 +30,7 @@ from jax.sharding import PartitionSpec as P
 
 from ...registries import TransformerRegistry
 
-__all__ = ["LlamaTransformer", "KVCache", "Int8Dense", "quantize_params_int8", "llama_tp_param_spec"]
+__all__ = ["LlamaTransformer", "KVCache", "Int8Dense", "quantize_params_int8", "fuse_llama_params", "llama_tp_param_spec"]
 
 _dense_init = nn.initializers.normal(0.02)
 
@@ -118,6 +118,43 @@ def quantize_params_int8(params: Any) -> Any:
     return convert(params)
 
 
+def fuse_llama_params(params: Any) -> Any:
+    """Unfused Llama params → the ``fused_qkv=True`` layout: q/k/v kernels
+    concatenated into ``qkv_proj`` and gate/up into ``gateup_proj`` (works
+    for float kernels and Int8Dense {w_int8, scale} — per-output-channel
+    scales concatenate directly). A serving-time transform: checkpoints and
+    converters keep the unfused HF-compatible layout."""
+
+    def cat(entries):
+        if "kernel" in entries[0]:
+            return {
+                "kernel": jnp.concatenate(
+                    [e["kernel"] for e in entries], axis=1
+                )
+            }
+        return {
+            "w_int8": jnp.concatenate([e["w_int8"] for e in entries], axis=1),
+            "scale": jnp.concatenate([e["scale"] for e in entries], axis=0),
+        }
+
+    out = {}
+    for key, val in params.items():
+        if isinstance(val, dict) and "q_proj" in val:
+            layer = {
+                k: v
+                for k, v in val.items()
+                if k not in ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj")
+            }
+            layer["qkv_proj"] = cat(
+                [val["q_proj"], val["k_proj"], val["v_proj"]]
+            )
+            layer["gateup_proj"] = cat([val["gate_proj"], val["up_proj"]])
+            out[key] = layer
+        else:
+            out[key] = val
+    return out
+
+
 def _rope(x: jax.Array, positions: jax.Array, theta: float = 10000.0) -> jax.Array:
     """HF-style rotate-half RoPE. x: (B, T, H, Dh), positions: (B, T) or (T,)."""
     dh = x.shape[-1]
@@ -155,6 +192,7 @@ class LlamaBlock(nn.Module):
     dtype: Any = jnp.float32
     quantize: bool = False  # INT8 weight-only projections
     quantize_mode: str = "auto"
+    fused_qkv: bool = False  # merged qkv / gate+up projections (decode)
 
     def _dense(self, features: int, name: str):
         if self.quantize:
@@ -188,9 +226,16 @@ class LlamaBlock(nn.Module):
         h = self.num_heads
         dh = d // h
         y = RMSNorm(dtype=self.dtype, name="input_norm")(x)
-        q = self._dense(d, "q_proj")(y)
-        k = self._dense(d, "k_proj")(y)
-        v = self._dense(d, "v_proj")(y)
+        if self.fused_qkv:
+            # one (D, 3D) matmul instead of three: at decode batch sizes
+            # each small matmul pays a fixed dispatch cost and underfills
+            # the MXU; fusing recovers it (params via fuse_llama_params)
+            qkv = self._dense(3 * d, "qkv_proj")(y)
+            q, k, v = jnp.split(qkv, [d, 2 * d], axis=-1)
+        else:
+            q = self._dense(d, "q_proj")(y)
+            k = self._dense(d, "k_proj")(y)
+            v = self._dense(d, "v_proj")(y)
         q = q.reshape(b, t, h, dh)
         k = k.reshape(b, t, h, dh)
         v = v.reshape(b, t, h, dh)
@@ -249,8 +294,12 @@ class LlamaBlock(nn.Module):
         x = x + self._dense(d, "o_proj")(attn)
 
         y = RMSNorm(dtype=self.dtype, name="post_norm")(x)
-        gate = self._dense(self.ffn_dim, "gate_proj")(y)
-        up = self._dense(self.ffn_dim, "up_proj")(y)
+        if self.fused_qkv:
+            gu = self._dense(2 * self.ffn_dim, "gateup_proj")(y)
+            gate, up = jnp.split(gu, 2, axis=-1)
+        else:
+            gate = self._dense(self.ffn_dim, "gate_proj")(y)
+            up = self._dense(self.ffn_dim, "up_proj")(y)
         y = nn.silu(gate) * up
         x = x + self._dense(d, "down_proj")(y)
         return x, new_cache
@@ -267,6 +316,7 @@ class LlamaTransformer(nn.Module):
     dtype: Any = jnp.float32
     quantize: bool = False  # INT8 weight-only projections (decode serving)
     quantize_mode: str = "auto"  # "auto" | "pallas" | "xla" | "w8a8"
+    fused_qkv: bool = False  # serve with merged qkv/gate+up projections
 
     @nn.compact
     def __call__(
@@ -330,6 +380,7 @@ class LlamaTransformer(nn.Module):
                 dtype=self.dtype,
                 quantize=self.quantize,
                 quantize_mode=self.quantize_mode,
+                fused_qkv=self.fused_qkv,
                 name=f"layer{i}",
             )(x, positions, mask, stacked, i, offset)
             if stacked_new is not None:
@@ -424,7 +475,13 @@ def llama_tp_param_spec(path: tuple, leaf, axis: str = "tp") -> P:
     parallel, o/down row-parallel, embeddings/lm_head vocab-sharded."""
     keys = [getattr(p, "key", None) for p in path]
     name = "/".join(str(k) for k in keys if k is not None)
-    if any(k in name for k in ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj")):
+    if any(
+        k in name
+        for k in (
+            "q_proj", "k_proj", "v_proj", "gate_proj", "up_proj",
+            "qkv_proj", "gateup_proj",
+        )
+    ):
         return P(None, axis)
     if any(k in name for k in ("o_proj", "down_proj")):
         return P(axis, None)
