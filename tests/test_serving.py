@@ -397,3 +397,51 @@ class TestTPServing:
         for _, codes in done:
             assert codes.shape == (8,)
             assert (codes >= 0).all() and (codes < 16).all()
+
+
+class TestPagedAttentionKernel:
+    """The Pallas paged-attention decode path must match the XLA
+    gather+masked-softmax path (ops/paged_attention.py reads allocated
+    pages directly from the pool; the gather path materialises the logical
+    window)."""
+
+    def test_kernel_matches_gather_path(self):
+        tr_gather = LlamaTransformer(paged_kernel=False, **TINY)
+        tr_kernel = LlamaTransformer(paged_kernel=True, **TINY)
+        params = tr_gather.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32)
+        )["params"]
+        params = dict(params)
+        params["lm_head"] = (
+            jax.random.normal(jax.random.PRNGKey(9), params["lm_head"].shape)
+            * 0.1
+        )
+        b = 3
+        cache_a = tr_gather.init_paged_cache(
+            b, num_pages=13, page_size=4, pages_per_slot=4,
+            dtype=jnp.float32,
+        )
+        table = jnp.asarray(
+            [[1, 2, 3, 4], [5, 6, 7, 8], [9, 10, 11, 12]], jnp.int32
+        )
+        cache_a = cache_a._replace(page_table=table)
+        cache_b = cache_a
+        tokens = jnp.asarray([[3], [5], [7]], jnp.int32)
+        # decode several tokens at staggered positions through both paths
+        for step in range(5):
+            positions = jnp.asarray(
+                [step, step + 2, step], jnp.int32
+            )
+            la, cache_a = tr_gather.apply(
+                {"params": params}, tokens, cache_a, slot_positions=positions
+            )
+            lb, cache_b = tr_kernel.apply(
+                {"params": params}, tokens, cache_b, slot_positions=positions
+            )
+            np.testing.assert_allclose(
+                np.asarray(la), np.asarray(lb), atol=1e-4, rtol=1e-4
+            )
+            tokens = jnp.argmax(la[:, -1:], axis=-1).astype(jnp.int32)
+        np.testing.assert_allclose(
+            np.asarray(cache_a.k), np.asarray(cache_b.k), atol=1e-6
+        )

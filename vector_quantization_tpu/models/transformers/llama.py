@@ -193,6 +193,7 @@ class LlamaBlock(nn.Module):
     quantize: bool = False  # INT8 weight-only projections
     quantize_mode: str = "auto"
     fused_qkv: bool = False  # merged qkv / gate+up projections (decode)
+    paged_kernel: bool | None = None  # Pallas paged attention (None = auto)
 
     def _dense(self, features: int, name: str):
         if self.quantize:
@@ -245,15 +246,41 @@ class LlamaBlock(nn.Module):
         from ...ops.paged_kv import PagedKVCache, paged_gather, paged_update
 
         if isinstance(stacked_kv, PagedKVCache):
-            # paged pool: scatter this token per slot, gather logical keys
+            # paged pool: scatter this token per slot, then attend
             assert t == 1 and offset is not None and offset.ndim == 1
             stacked_kv = paged_update(
                 stacked_kv, layer_idx, offset, k[:, 0], v[:, 0]
             )
+            new_cache = stacked_kv
+            use_kernel = self.paged_kernel
+            if use_kernel is None:
+                use_kernel = jax.default_backend() == "tpu"
+            if use_kernel:
+                # Pallas paged attention: reads each slot's allocated pages
+                # straight from the pool with per-row valid lengths — the
+                # gather path materialises the (B, S, H, Dh) logical cache
+                # (an extra write+read of the whole window per layer) and
+                # reads the global-max bucket for every row. Not used under
+                # tensor-sharded caches (a pallas call on sharded operands
+                # would force replication) — ARServer disables it then.
+                from ...ops.paged_attention import paged_decode_attention
+
+                attn = paged_decode_attention(
+                    q[:, 0],
+                    stacked_kv.k,
+                    stacked_kv.v,
+                    stacked_kv.page_table,
+                    offset + 1,
+                    layer_idx,
+                    # explicit paged_kernel=True off-TPU (tests) interprets
+                    interpret=jax.default_backend() != "tpu",
+                )
+                attn = attn.astype(self.dtype).reshape(b, 1, d)
+                x = x + self._dense(d, "o_proj")(attn)
+                return self._ffn(x), new_cache
             k_att, v_att = paged_gather(stacked_kv, layer_idx)
             k_att = k_att.astype(self.dtype)
             v_att = v_att.astype(self.dtype)
-            new_cache = stacked_kv
         elif stacked_kv is not None:
             k_all, v_all = stacked_kv
             if offset is not None and getattr(offset, "ndim", 0) == 1:
@@ -292,7 +319,10 @@ class LlamaBlock(nn.Module):
         attn = jnp.einsum("bhts,bshd->bthd", probs, v_att)
         attn = attn.reshape(b, t, d)
         x = x + self._dense(d, "o_proj")(attn)
+        return self._ffn(x), new_cache
 
+    def _ffn(self, x: jax.Array) -> jax.Array:
+        d = x.shape[-1]
         y = RMSNorm(dtype=self.dtype, name="post_norm")(x)
         if self.fused_qkv:
             gu = self._dense(2 * self.ffn_dim, "gateup_proj")(y)
@@ -301,8 +331,7 @@ class LlamaBlock(nn.Module):
             gate = self._dense(self.ffn_dim, "gate_proj")(y)
             up = self._dense(self.ffn_dim, "up_proj")(y)
         y = nn.silu(gate) * up
-        x = x + self._dense(d, "down_proj")(y)
-        return x, new_cache
+        return x + self._dense(d, "down_proj")(y)
 
 
 @TransformerRegistry.register()
@@ -317,6 +346,7 @@ class LlamaTransformer(nn.Module):
     quantize: bool = False  # INT8 weight-only projections (decode serving)
     quantize_mode: str = "auto"  # "auto" | "pallas" | "xla" | "w8a8"
     fused_qkv: bool = False  # serve with merged qkv/gate+up projections
+    paged_kernel: bool | None = None  # Pallas paged attention (None = auto)
 
     @nn.compact
     def __call__(
@@ -381,6 +411,7 @@ class LlamaTransformer(nn.Module):
                 quantize=self.quantize,
                 quantize_mode=self.quantize_mode,
                 fused_qkv=self.fused_qkv,
+                paged_kernel=self.paged_kernel,
                 name=f"layer{i}",
             )(x, positions, mask, stacked, i, offset)
             if stacked_new is not None:

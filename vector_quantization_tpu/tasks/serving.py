@@ -93,6 +93,14 @@ class ARServer:
                 f"transformer.max_length {transformer.max_length} < "
                 f"{needed} (1 + image_tokens + steps_per_sync - 1)"
             )
+        if (
+            strategy is not None
+            and paged
+            and getattr(transformer, "paged_kernel", None) is None
+        ):
+            # a pallas call on tensor-sharded pool operands would force
+            # replication; TP serving uses the XLA gather path
+            transformer = transformer.clone(paged_kernel=False)
         self.transformer = transformer
         self.strategy = strategy
         if strategy is not None:
