@@ -151,24 +151,36 @@ def tokenize_chain(model, lookup: str, chain: int):
     return chained
 
 
-def _run_chain(fn, params, x) -> float:
-    float(fn(params, x, jnp.float32(0)))  # warmup (compile + execute)
-    ts = []
+def images_per_sec_pair(
+    model, params, x, lookup_a: str, lookup_b: str
+) -> tuple[float | None, float | None]:
+    """Time two lookup paths INTERLEAVED (a_short, b_short, a_long, b_long
+    round-robin): machine drift between runs is ±1-2%, the same order as
+    the paths' true gap, so back-to-back measurement decides vs_baseline
+    by coin flip — interleaving cancels the drift."""
+    fns = {
+        (lk, chain): tokenize_chain(model, lk, chain)
+        for lk in (lookup_a, lookup_b)
+        for chain in (CHAIN_SHORT, CHAIN_LONG)
+    }
+    for fn in fns.values():  # compile everything first
+        float(fn(params, x, jnp.float32(0)))
+    ts = {key: [] for key in fns}
     for i in range(5):
-        t0 = time.perf_counter()
-        # unique salt per call: the tunnel dedups identical dispatches
-        float(fn(params, x, jnp.float32(i + 1)))
-        ts.append(time.perf_counter() - t0)
-    return sorted(ts)[2]
+        for key, fn in fns.items():
+            t0 = time.perf_counter()
+            # unique salt per call: the tunnel dedups identical dispatches
+            float(fn(params, x, jnp.float32(i + 1)))
+            ts[key].append(time.perf_counter() - t0)
 
+    def rate(lk):
+        t_s = sorted(ts[(lk, CHAIN_SHORT)])[2]
+        t_l = sorted(ts[(lk, CHAIN_LONG)])[2]
+        if t_l <= t_s:  # jitter swallowed the signal: invalid, not clamped
+            return None
+        return x.shape[0] * (CHAIN_LONG - CHAIN_SHORT) / (t_l - t_s)
 
-def images_per_sec(model, params, x, lookup: str) -> float | None:
-    t_short = _run_chain(tokenize_chain(model, lookup, CHAIN_SHORT), params, x)
-    t_long = _run_chain(tokenize_chain(model, lookup, CHAIN_LONG), params, x)
-    if t_long <= t_short:  # jitter swallowed the signal: invalid, not clamped
-        return None
-    per_link = (t_long - t_short) / (CHAIN_LONG - CHAIN_SHORT)
-    return x.shape[0] / per_link
+    return rate(lookup_a), rate(lookup_b)
 
 
 def tokenize_flops_per_image(model, params, x) -> float:
@@ -307,26 +319,37 @@ def ar_tokens_per_sec(
 
 
 def int8_kernel_microbench(overhead: float) -> dict:
-    """Shipped int8_matmul at the decode FFN shape: achieved weight GB/s
-    and the bf16 comparison (the artifact VERDICT r2 item 1 asks for)."""
+    """Shipped int8_matmul vs bf16 over 24 DISTINCT decode-FFN weight
+    matrices per pass (a single looped weight stays VMEM-resident and
+    measures the MXU, not HBM — 24 layers' weights evict each other like
+    the real decode loop). Reports ms/pass and achieved weight GB/s."""
     from vector_quantization_tpu.ops.int8_matmul import int8_matmul
 
     b, d, f = AR_SERVE_BATCH, 1024, 2816
-    chain = 4096  # ~5 us/link: ~20 ms signal vs ~10 ms tunnel jitter
+    layers, chain = 24, 64
     key = jax.random.PRNGKey(0)
-    w = jax.random.normal(key, (d, f), jnp.float32) * 0.02
-    scale = jnp.maximum(jnp.abs(w).max(axis=0) / 127.0, 1e-8)
-    w_i8 = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
-    w_bf = w.astype(jnp.bfloat16)
+    ws = jax.random.normal(key, (layers, d, f), jnp.float32) * 0.02
+    scale = jnp.maximum(jnp.abs(ws).max(axis=1) / 127.0, 1e-8)  # (L, f)
+    ws_i8 = jnp.clip(
+        jnp.round(ws / scale[:, None, :]), -127, 127
+    ).astype(jnp.int8)
+    ws_bf = ws.astype(jnp.bfloat16)
 
-    def per_call(fn, *args):
+    def per_pass(fn, weights, scales):
         @jax.jit
-        def chained(x0, salt, *args):
+        def chained(x0, salt, weights, scales):
             def body(i, carry):
                 x, acc = carry
-                out = fn(x, *args)
-                x = x * (1.0 + (out[0, 0] % 3) * 1e-7).astype(x.dtype)
-                return (x, acc + out[0, 0])
+
+                def layer(j, xa):
+                    x, acc = xa
+                    out = fn(x, weights[j], scales[j] if scales is not None else None)
+                    x2 = (out[:, :d] * 1e-3).astype(x.dtype)
+                    return (x2, acc + out[0, 0])
+
+                x, acc = jax.lax.fori_loop(0, layers, layer, (x, acc))
+                x = x * (1.0 + salt * 1e-9)
+                return (x, acc)
 
             _, acc = jax.lax.fori_loop(
                 0, chain, body,
@@ -335,26 +358,27 @@ def int8_kernel_microbench(overhead: float) -> dict:
             return acc
 
         x0 = jnp.ones((b, d), jnp.bfloat16)
-        float(chained(x0, jnp.float32(0), *args))
+        float(chained(x0, jnp.float32(0), weights, scales))
         ts = []
         for i in range(3):
             t0 = time.perf_counter()
-            float(chained(x0, jnp.float32(i + 1), *args))
+            float(chained(x0, jnp.float32(i + 1), weights, scales))
             ts.append(time.perf_counter() - t0)
         t = sorted(ts)[1] - overhead
         return t / chain if t > 0 else None
 
-    t_i8 = per_call(lambda x, w, s: int8_matmul(x, w, s), w_i8, scale)
-    t_bf = per_call(
-        lambda x, w: jnp.dot(x, w, preferred_element_type=jnp.float32), w_bf
+    t_i8 = per_pass(lambda x, w, s: int8_matmul(x, w, s), ws_i8, scale)
+    t_bf = per_pass(
+        lambda x, w, s: jnp.dot(x, w, preferred_element_type=jnp.float32),
+        ws_bf, None,
     )
-    out = {"shape": f"{b}x{d}x{f}"}
+    out = {"shape": f"{layers}x({b}x{d}x{f})"}
     if t_i8:
-        out["int8_us"] = round(t_i8 * 1e6, 1)
-        out["int8_weight_gb_s"] = round(d * f / t_i8 / 1e9, 1)
+        out["int8_ms_per_pass"] = round(t_i8 * 1e3, 3)
+        out["int8_weight_gb_s"] = round(layers * d * f / t_i8 / 1e9, 1)
     if t_bf:
-        out["bf16_us"] = round(t_bf * 1e6, 1)
-        out["bf16_weight_gb_s"] = round(d * f * 2 / t_bf / 1e9, 1)
+        out["bf16_ms_per_pass"] = round(t_bf * 1e3, 3)
+        out["bf16_weight_gb_s"] = round(layers * d * f * 2 / t_bf / 1e9, 1)
     if t_i8 and t_bf:
         out["int8_speedup"] = round(t_bf / t_i8, 2)
     return out
@@ -383,6 +407,7 @@ def serving_tokens_per_sec(quantize: bool, fp_params, overhead: float) -> dict:
     pairs two lanes per stream)."""
     from vector_quantization_tpu.models.transformers.llama import (
         LlamaTransformer,
+        fuse_llama_params,
         quantize_params_int8,
     )
     from vector_quantization_tpu.tasks.sequence_modeling import TokenCodebook
@@ -398,9 +423,11 @@ def serving_tokens_per_sec(quantize: bool, fp_params, overhead: float) -> dict:
         max_length=1 + image_tokens + steps_per_sync,
         dtype=jnp.bfloat16,
         quantize=quantize,
+        fused_qkv=True,  # bit-exact, measured +11% serving throughput
         **AR_CFG,
     )
     params = quantize_params_int8(fp_params) if quantize else fp_params
+    params = fuse_llama_params(params)
     cb = TokenCodebook(NUM_CATEGORIES + 1, AR_CODEBOOK)
 
     server = ARServer(
@@ -533,10 +560,8 @@ def main() -> None:
 
     # headline: VQGAN-f16 256px tokenize through the shipped dispatch
     model, params, x = build()
-    ips_default = images_per_sec(model, params, x, "default")
-    ips_alt = images_per_sec(
-        model, params, x, "pallas" if not _default_lookup_is_pallas() else "xla"
-    )
+    alt = "pallas" if not _default_lookup_is_pallas() else "xla"
+    ips_default, ips_alt = images_per_sec_pair(model, params, x, "default", alt)
     flops_img = tokenize_flops_per_image(model, params, x)
 
     result = {
@@ -569,11 +594,7 @@ def main() -> None:
         batch=16, img=256, codebook=16384, dim=64,
         width=64, width_mults=(1, 1, 2, 2), normalize=True,
     )
-    lh_default = images_per_sec(model8, params8, x8, "default")
-    lh_alt = images_per_sec(
-        model8, params8, x8,
-        "pallas" if not _default_lookup_is_pallas() else "xla",
-    )
+    lh_default, lh_alt = images_per_sec_pair(model8, params8, x8, "default", alt)
     result["lookup_heavy"] = {
         "metric": "img/s f8 tokenize (1024 tok/img, 16384x64 codebook)",
         "img_per_s": round(lh_default, 2) if lh_default else None,
@@ -637,7 +658,7 @@ def main() -> None:
                 "metric": (
                     "AR serving effective tokens/s/chip (continuous "
                     "batching, CFG α=1.75, top-k 600/top-p 0.92, paged KV, "
-                    "steps_per_sync=32, 64 slots)"
+                    "steps_per_sync=32, 64 slots, fused qkv, paged-attention kernel)"
                 ),
                 "bf16": serving_tokens_per_sec(False, fp_params, overhead),
                 "int8": serving_tokens_per_sec(True, fp_params, overhead),

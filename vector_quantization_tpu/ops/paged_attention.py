@@ -12,13 +12,17 @@ attention, TPU-shaped):
   page table, so the k/v DMAs fetch only the slot's ALLOCATED pages —
   pages beyond a slot's valid length map to the previous block index and
   the pipeline elides the duplicate fetch (no wasted bytes, per-row
-  lengths honored — stronger than the host-side bucket slicing which
-  reads every row up to the global max);
-- per-page compute: ``(H, ps)`` scores on the VPU/MXU, flash-style
-  (m, l, o) running softmax in VMEM scratch, masked by the row length.
+  lengths honored — stronger than host-side bucket slicing, which reads
+  every row up to the global max);
+- per-page compute is elementwise multiply + reduce on the VPU with a
+  flash-style (m, l, o) running softmax in VMEM scratch. Mosaic cannot
+  lower the equivalent batched dot_generals (batch H, no free lhs dims),
+  and an MXU head-segment-matrix variant measured 40x SLOWER end to end
+  (tiny per-step dots are latency-bound); the simple VPU form sustains
+  3000 eff tok/s at the serving recipe (page_size 64).
 
 ``paged_decode_attention(q (B, H, Dh), k_pool/v_pool (L, P, ps, H, Dh),
-page_table (B, P_cap), lengths (B,), layer) → (B, H, Dh) f32``.
+page_table (B, P_cap), lengths (B,), layer) → (B, H·Dh) f32``.
 
 The pool is passed WHOLE with the (static) layer index folded into the
 index map — slicing ``pool[layer]`` in XLA would materialise a copy of the
@@ -46,8 +50,8 @@ def _kernel(
     k_ref,  # (1, 1, ps, H, Dh)
     v_ref,
     out_ref,  # (1, H, Dh) f32
-    m_ref,  # (H, 1) f32 scratch
-    l_ref,  # (H, 1) f32 scratch
+    m_ref,  # (1, H) f32 scratch
+    l_ref,  # (1, H) f32 scratch
     o_ref,  # (H, Dh) f32 scratch
     *,
     ps: int,
@@ -69,40 +73,28 @@ def _kernel(
         q = q_ref[0].astype(jnp.float32) * scale  # (H, Dh)
         k = k_ref[0, 0].astype(jnp.float32)  # (ps, H, Dh)
         v = v_ref[0, 0].astype(jnp.float32)
-        # scores (H, ps) = sum_d q[h, d] * k[s, h, d]
-        scores = jax.lax.dot_general(
-            q,
-            k,
-            (((1,), (2,)), ((0,), (1,))),
-            preferred_element_type=jnp.float32,
-        )  # batch H: (H,) x contract Dh -> (H, ps)
-        pos = p * ps + jax.lax.broadcasted_iota(jnp.int32, (1, ps), 1)
+        # scores (ps, H) = sum_d q[h, d] * k[s, h, d]
+        scores = jnp.sum(q[None, :, :] * k, axis=-1)
+        pos = p * ps + jax.lax.broadcasted_iota(jnp.int32, (ps, 1), 0)
         scores = jnp.where(pos < length, scores, _NEG)
 
-        m_prev = m_ref[:]  # (H, 1)
-        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=1, keepdims=True))
+        m_prev = m_ref[:]  # (1, H)
+        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=0, keepdims=True))
         m_ref[:] = m_new
-        alpha = jnp.exp(m_prev - m_new)  # (H, 1)
-        probs = jnp.exp(scores - m_new)  # (H, ps)
-        l_ref[:] = l_ref[:] * alpha + jnp.sum(probs, axis=1, keepdims=True)
-        # (H, 1, ps) @ (H, ps, Dh) batched over H → (H, 1, Dh)
-        pv = jax.lax.dot_general(
-            probs[:, None, :],  # (H, 1, ps)
-            v.transpose(1, 0, 2),  # (H, ps, Dh)
-            (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )[:, 0, :]  # (H, Dh)
-        o_ref[:] = o_ref[:] * alpha + pv
+        alpha = jnp.exp(m_prev - m_new)  # (1, H)
+        probs = jnp.exp(scores - m_new)  # (ps, H)
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(probs, axis=0, keepdims=True)
+        # o (H, Dh) = sum_s probs[s, h] * v[s, h, d]
+        pv = jnp.sum(probs[:, :, None] * v, axis=0)
+        o_ref[:] = o_ref[:] * alpha.reshape(-1, 1) + pv
 
     @pl.when(p == pl.num_programs(1) - 1)
     def _():
         denom = jnp.maximum(l_ref[:], 1e-9)  # idle rows: all masked
-        out_ref[0] = (o_ref[:] / denom).astype(out_ref.dtype)
+        out_ref[0] = (o_ref[:] / denom.reshape(-1, 1)).astype(out_ref.dtype)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("layer", "interpret")
-)
+@functools.partial(jax.jit, static_argnames=("layer", "interpret"))
 def paged_decode_attention(
     q: jax.Array,  # (B, H, Dh)
     k_pool: jax.Array,  # (L, P, ps, H, Dh)
@@ -135,18 +127,16 @@ def paged_decode_attention(
             num_scalar_prefetch=2,
             grid=grid,
             in_specs=[
-                pl.BlockSpec(
-                    (1, h, dh), lambda bi, pi, t, ln: (bi, 0, 0),
-                ),
+                pl.BlockSpec((1, h, dh), lambda bi, pi, t, ln: (bi, 0, 0)),
                 pl.BlockSpec((1, 1, ps, h, dh), page_index),
                 pl.BlockSpec((1, 1, ps, h, dh), page_index),
             ],
             out_specs=pl.BlockSpec(
-                (1, h, dh), lambda bi, pi, t, ln: (bi, 0, 0),
+                (1, h, dh), lambda bi, pi, t, ln: (bi, 0, 0)
             ),
             scratch_shapes=[
-                pltpu.VMEM((h, 1), jnp.float32),
-                pltpu.VMEM((h, 1), jnp.float32),
+                pltpu.VMEM((1, h), jnp.float32),
+                pltpu.VMEM((1, h), jnp.float32),
                 pltpu.VMEM((h, dh), jnp.float32),
             ],
         ),
@@ -156,4 +146,4 @@ def paged_decode_attention(
         ),
         interpret=interpret,
     )(page_table, lengths, q, k_pool, v_pool)
-    return out
+    return out.reshape(b, h * dh)

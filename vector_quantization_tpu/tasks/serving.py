@@ -74,7 +74,9 @@ class ARServer:
         uncond_token: int | None = None,
         steps_per_sync: int = 1,
         paged: bool = False,
-        page_size: int = 16,
+        page_size: int = 64,  # measured optimum with the Pallas paged
+        # attention kernel on v5e (3007 vs 2349 eff tok/s at ps=16: fewer,
+        # larger page DMAs; gather fallback prefers small pages)
         num_pages: int | None = None,
         strategy: Any | None = None,
     ) -> None:
@@ -260,12 +262,13 @@ class ARServer:
             # Length-aware gather (VERDICT r2 weak #4): slice the page
             # table to the pages the furthest-along slot can touch this
             # sync, so attention reads only the live bucket instead of the
-            # full pages_per_slot capacity. Rounded to 4-page buckets to
-            # bound the number of compiled variants.
+            # full pages_per_slot capacity. Rounded to ~64-position buckets
+            # to bound the number of compiled variants.
             active_rows = np.repeat(self.active, self.lanes)
             max_pos = int(self.positions[active_rows].max())
             need = (max_pos + self.steps_per_sync - 1) // self.page_size + 1
-            p_cap = min(self.pages_per_slot, -(-need // 4) * 4)
+            r = max(1, 64 // self.page_size)
+            p_cap = min(self.pages_per_slot, -(-need // r) * r)
             cache_in = self.cache._replace(
                 page_table=self._put(self._page_table[:, :p_cap])
             )
