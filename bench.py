@@ -631,6 +631,13 @@ def main() -> None:
             / ar_step_bytes(True, AR_SERVE_BATCH, avg_rows)
             * AR_SERVE_BATCH
         )
+        # r2's SOL formula assumed full-window KV reads every step; the
+        # length-aware decode changed the denominator, so report both
+        sol64_full = (
+            hbm_bw
+            / ar_step_bytes(False, AR_SERVE_BATCH, 1 + AR_LONG)
+            * AR_SERVE_BATCH
+        )
         result["ar"] = {
             "metric": (
                 "AR decode tokens/s/chip (Llama-medium 24L/1024d C2I, "
@@ -646,7 +653,10 @@ def main() -> None:
                 "decode SOL = HBM_BW / (weights + avg KV bytes per step) * "
                 f"batch; b8 bf16 {sol8:.0f} tok/s ({bf16 / sol8:.0%}), "
                 f"b64 bf16 {sol64:.0f} ({bf16_64 / sol64:.0%}), "
-                f"b64 int8 {sol64_i8:.0f} ({int8_64 / sol64_i8:.0%})."
+                f"b64 int8 {sol64_i8:.0f} ({int8_64 / sol64_i8:.0%}). "
+                "Against r2's full-window SOL formula "
+                f"({sol64_full:.0f} tok/s at b64) the bf16 decode is at "
+                f"{bf16_64 / sol64_full:.0%} (r2 measured 46%)."
             ),
             "images_per_s_at_256px_f16": round(
                 max(bf16_64, int8_64) / 256, 2

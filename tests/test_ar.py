@@ -438,3 +438,33 @@ class TestFusedProjections:
         a = trq.apply({"params": qp}, tokens)
         b = trqf.apply({"params": fuse_llama_params(qp)}, tokens)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestSegmentedGenerate:
+    """kv_segment decode (length-aware KV reads) must produce the same
+    tokens as the single full-window scan — same sampling keys, masked
+    rows contribute exactly-zero softmax weight."""
+
+    @pytest.mark.parametrize("family", ["llama", "gpt2"])
+    def test_matches_full_scan(self, family):
+        if family == "llama":
+            tr = LlamaTransformer(**{**TINY, "max_length": 40})
+        else:
+            from vector_quantization_tpu.models.transformers.gpt2 import (
+                GPT2Transformer,
+            )
+
+            tr = GPT2Transformer(
+                vocabulary_size=64, hidden_size=32, num_layers=2,
+                num_heads=2, max_length=40, dtype=jnp.float32,
+            )
+        params = tr.init(jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32))[
+            "params"
+        ]
+        cb = TokenCodebook(12, 48)
+        kw = dict(sampler={"top_k": 5}, cache_dtype=jnp.float32)
+        key = jax.random.PRNGKey(7)
+        prefix = jnp.zeros((2, 1), jnp.int32)
+        full = generate(tr, params, prefix, 32, cb, key, kv_segment=None, **kw)
+        seg = generate(tr, params, prefix, 32, cb, key, kv_segment=8, **kw)
+        np.testing.assert_array_equal(np.asarray(full), np.asarray(seg))
