@@ -77,8 +77,9 @@ def _auto_block_k(k_pad: int, d_pad: int, itemsize: int) -> int:
     ``dimension_semantics=("parallel", "arbitrary")`` (r3 sweep,
     work_dirs/exp/exp_lookup.py): 2048-row tiles double-buffer the codebook
     DMA against the distance matmul and beat both the whole-codebook tile
-    (r2's choice — no pipelining, VMEM-pressure spills) and larger tiles:
-    flagship f16 1242.6 vs 1208.4 img/s, f8 2102.9 vs 1776.3."""
+    (r2's choice — no pipelining, VMEM-pressure spills; 0.95x of XLA in
+    BENCH_r02) and larger tiles; with them the kernel reaches parity with
+    XLA at the flagship shape and leads at the f8 shape."""
     block = 2048
     if k_pad <= block:
         return k_pad
@@ -166,17 +167,20 @@ def nearest_codes_xla(
     return jnp.argmin(d, axis=-1).astype(jnp.int32)
 
 
-def _default_use_pallas() -> bool:
-    """Shipped dispatch default for :func:`nearest_codes`.
+def _default_use_pallas(d: int) -> bool:
+    """Shipped dispatch default for :func:`nearest_codes`, by code dim.
 
-    Measured on v5e (r3 sweep; BENCH_r03): with 2048-row codebook tiles and
-    parallel/arbitrary dimension semantics the fused kernel beats the XLA
-    distance+argmin path end-to-end at both headline shapes — flagship f16
-    1242.6 vs 1205.7 img/s (+3%), LlamaGen f8 2102.9 vs 1785.5 (+18%) —
-    so Pallas is the default on TPU (the r2 default was flipped to XLA when
-    the whole-codebook-tile kernel lost; the measurement decides).
+    Measured end-to-end on v5e across r3 runs (work_dirs/exp/exp_lookup.py
+    + BENCH_r03): at the flagship f16 shape (D=256) the fused kernel and
+    the XLA distance+argmin path are equal within run-to-run noise
+    (pallas/xla img/s ratio 0.99-1.03 over five runs — the conv encoder is
+    the bottleneck at ~86% MFU); at the LlamaGen-f8 shape (D=64, 16384
+    codes) the kernel leans ahead (+1% to +5%, mean ~+2%: the XLA path's
+    materialised N×K distance matrix costs relatively more when D is
+    narrow). The dispatch follows: Pallas for narrow code dims, XLA
+    otherwise; both stay selectable via ``use_pallas``.
     """
-    return True
+    return d < 128
 
 
 def nearest_codes(
@@ -196,7 +200,9 @@ def nearest_codes(
     elif metric != "l2":
         raise ValueError(f"unknown metric {metric!r}")
     if use_pallas is None:
-        use_pallas = _default_use_pallas() and jax.default_backend() == "tpu"
+        use_pallas = (
+            _default_use_pallas(x.shape[-1]) and jax.default_backend() == "tpu"
+        )
     x = jax.lax.stop_gradient(x)
     codebook = jax.lax.stop_gradient(codebook)
     if use_pallas:
