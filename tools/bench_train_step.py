@@ -14,6 +14,14 @@ timed variants of the same jitted two-optimizer train step:
 
 Prints one JSON line with ms/step for each and the overhead ratios.
 
+Measured on v5e (b8 128px, work_dirs/published/train_step_bench.json):
+off 29.45 ms, shared 29.92 (+1.6%), reforward 29.94 (+1.7%) — the shipped
+shared-forward probe is near-free, and the re-forward emulation measures
+the same because XLA CSEs the duplicate decode (stop_gradient is identity
+in the forward pass), i.e. the compiler was already neutralising most of
+the r2 design's extra forward; the r3 restructure guarantees it
+structurally instead of relying on CSE.
+
 Usage: python tools/bench_train_step.py [--batch 8] [--size 128] [--tiny]
 """
 
