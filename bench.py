@@ -515,8 +515,7 @@ def dataplane_tokenize(model, params) -> dict | None:
             dec.decode_batch(paths[i : i + batch], IMG, "none", seeds)
         t_decode = time.perf_counter() - t0
 
-        # end-to-end: decode batch i+1 is NOT overlapped with tokenize i
-        # (sequential loop) — the honest simple-pipeline number
+        # sequential: decode batch i+1 is NOT overlapped with tokenize i
         t0 = time.perf_counter()
         outs = []
         for i in range(0, n_images, batch):
@@ -525,15 +524,46 @@ def dataplane_tokenize(model, params) -> dict | None:
             )
             outs.append(tokenize(params, jnp.asarray(pix)))
         np.asarray(outs[-1])
-        t_e2e = time.perf_counter() - t0
+        t_seq = time.perf_counter() - t0
+
+        # pipelined: a prefetch thread decodes batch i+1 while batch i is
+        # in flight on the device — the production loader pattern
+        # (data/loader.py), so e2e ≈ max(decode, upload+compute)
+        import queue
+        import threading
+
+        q: queue.Queue = queue.Queue(maxsize=2)
+
+        def producer():
+            for i in range(0, n_images, batch):
+                pix, _ = dec.decode_batch(
+                    paths[i : i + batch], IMG, "none", seeds
+                )
+                q.put(pix)
+            q.put(None)
+
+        t0 = time.perf_counter()
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        outs = []
+        while True:
+            pix = q.get()
+            if pix is None:
+                break
+            outs.append(tokenize(params, jnp.asarray(pix)))
+        np.asarray(outs[-1])
+        t_pipe = time.perf_counter() - t0
+        thread.join()
         return {
-            "img_per_s_e2e": round(n_images / t_e2e, 1),
+            "img_per_s_e2e_pipelined": round(n_images / t_pipe, 1),
+            "img_per_s_e2e_sequential": round(n_images / t_seq, 1),
             "img_per_s_decode_only": round(n_images / t_decode, 1),
             "decode_threads": dec.num_threads,
             "note": (
-                "sequential decode→tokenize loop (no overlap); e2e ≈ "
-                "1/(1/decode + 1/compute) — input-bound when "
-                "decode_only < compute headline"
+                "pipelined = prefetch thread overlaps JPEG decode with "
+                "device compute (the production loader pattern); "
+                "sequential has no overlap. Input-bound when decode_only "
+                "< compute headline."
             ),
         }
     finally:
