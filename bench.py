@@ -283,7 +283,7 @@ def _ar_build(quantize: bool, params=None, max_length=1 + AR_LONG):
     return tr, params
 
 
-def _ar_time(tr, params, num_tokens: int, batch: int) -> float:
+def _ar_time(tr, params, num_tokens: int, batch: int, cache_dtype=None) -> float:
     """Median wall time of one full generate() call (batch, num_tokens)."""
     from vector_quantization_tpu.tasks.sequence_modeling import (
         TokenCodebook,
@@ -293,10 +293,13 @@ def _ar_time(tr, params, num_tokens: int, batch: int) -> float:
     codebook = TokenCodebook(NUM_CATEGORIES + 1, AR_CODEBOOK)
     prefix = jnp.zeros((batch, 1), jnp.int32)
 
+    kw = {} if cache_dtype is None else {"cache_dtype": cache_dtype}
+
     def run(params, prefix, key):
         return generate(
             tr, params, prefix, num_tokens, codebook, key,
             sampler={"temperature": 1.0, "top_k": 600, "top_p": 0.92},
+            **kw,
         )
 
     fn = jax.jit(run)
@@ -310,11 +313,11 @@ def _ar_time(tr, params, num_tokens: int, batch: int) -> float:
 
 
 def ar_tokens_per_sec(
-    quantize: bool, batch: int, overhead: float, params=None
+    quantize: bool, batch: int, overhead: float, params=None, cache_dtype=None
 ) -> tuple[float, Any]:
     """tokens/s/chip from one timed generate, RPC overhead subtracted."""
     tr, params_used = _ar_build(quantize, params)
-    t = _ar_time(tr, params_used, AR_LONG, batch)
+    t = _ar_time(tr, params_used, AR_LONG, batch, cache_dtype)
     per_tok = max(t - overhead, 1e-9) / AR_LONG
     return batch / per_tok, params_used
 
@@ -658,6 +661,13 @@ def main() -> None:
             quantize=True, batch=AR_SERVE_BATCH, overhead=overhead,
             params=fp_params,
         )
+        # INT8 KV cache (per-position-head scales; ~0.2% rel logit error):
+        # bf16 weights + int8 KV measured FASTEST — once KV bytes halve,
+        # the weight dequant overhead outweighs its bandwidth saving
+        int8kv_64, _ = ar_tokens_per_sec(
+            quantize=False, batch=AR_SERVE_BATCH, overhead=overhead,
+            params=fp_params, cache_dtype=jnp.int8,
+        )
         # shipped kv_segment=32 → segment c attends 1+32(c+1) rows
         # (..., capped at 257): per-step average over 256 tokens ~145 rows
         avg_rows = sum(min(1 + 32 * (c + 1), 257) for c in range(8)) * 32 / 256
@@ -689,6 +699,8 @@ def main() -> None:
             "bf16_tokens_per_s_b64": round(bf16_64, 1),
             "int8_tokens_per_s_b64": round(int8_64, 1),
             "int8_speedup_b64": round(int8_64 / bf16_64, 2),
+            "int8kv_tokens_per_s_b64": round(int8kv_64, 1),
+            "int8kv_speedup_b64": round(int8kv_64 / bf16_64, 2),
             "int8_kernel": int8_kernel_microbench(overhead),
             "sol_note": (
                 "decode SOL = HBM_BW / (weights + avg KV bytes per step) * "
@@ -700,7 +712,7 @@ def main() -> None:
                 f"{bf16_64 / sol64_full:.0%} (r2 measured 46%)."
             ),
             "images_per_s_at_256px_f16": round(
-                max(bf16_64, int8_64) / 256, 2
+                max(bf16_64, int8_64, int8kv_64) / 256, 2
             ),
         }
 

@@ -36,11 +36,20 @@ _dense_init = nn.initializers.normal(0.02)
 
 
 class KVCache(NamedTuple):
-    """Per-layer stacked static cache: k/v (L_layers, B, L_max, H, Dh)."""
+    """Per-layer stacked static cache: k/v (L_layers, B, L_max, H, Dh).
+
+    With ``k_scale``/``v_scale`` set (shape (L, B, L_max, H)), k/v hold
+    INT8 values quantised per (position, head) — halves the decode-dominant
+    KV HBM traffic; the per-head scale commutes with the Dh contraction so
+    attention applies it after the score matmul / folds it into the probs
+    (measured 1.21x on the attention read at b64, BENCH_r03).
+    """
 
     k: jax.Array
     v: jax.Array
     length: jax.Array  # () int32 — number of valid positions
+    k_scale: jax.Array | None = None
+    v_scale: jax.Array | None = None
 
 
 class Int8Dense(nn.Module):
@@ -155,6 +164,14 @@ def fuse_llama_params(params: Any) -> Any:
     return out
 
 
+def _quant_kv(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(B, T, H, Dh) → int8 values + per-(B, T, H) f32 max-abs scales."""
+    xf = x.astype(jnp.float32)
+    sc = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1) / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(xf / sc[..., None]), -127, 127).astype(jnp.int8)
+    return q, sc
+
+
 def _rope(x: jax.Array, positions: jax.Array, theta: float = 10000.0) -> jax.Array:
     """HF-style rotate-half RoPE. x: (B, T, H, Dh), positions: (B, T) or (T,)."""
     dh = x.shape[-1]
@@ -245,6 +262,7 @@ class LlamaBlock(nn.Module):
 
         from ...ops.paged_kv import PagedKVCache, paged_gather, paged_update
 
+        int8_kv = False
         if isinstance(stacked_kv, PagedKVCache):
             # paged pool: scatter this token per slot, then attend
             assert t == 1 and offset is not None and offset.ndim == 1
@@ -282,31 +300,63 @@ class LlamaBlock(nn.Module):
             k_att = k_att.astype(self.dtype)
             v_att = v_att.astype(self.dtype)
         elif stacked_kv is not None:
-            k_all, v_all = stacked_kv
+            int8_kv = len(stacked_kv) == 4
+            if int8_kv:
+                # INT8 KV: per-(position, head) max-abs scales; the scale
+                # commutes with the Dh contraction so attention re-applies
+                # it after the score matmul / folds it into the probs —
+                # the cache read stays int8-sized
+                k_all, v_all, k_sc_all, v_sc_all = stacked_kv
+                k_w, k_s = _quant_kv(k)
+                v_w, v_s = _quant_kv(v)
+            else:
+                k_all, v_all = stacked_kv
+                k_w, v_w = k, v
             if offset is not None and getattr(offset, "ndim", 0) == 1:
                 # per-slot positions (continuous batching): t == 1, each
                 # batch row writes its own cache position
-                k_all = k_all.at[layer_idx, jnp.arange(b), offset].set(
-                    k[:, 0].astype(k_all.dtype)
+                rows = jnp.arange(b)
+                k_all = k_all.at[layer_idx, rows, offset].set(
+                    k_w[:, 0].astype(k_all.dtype)
                 )
-                v_all = v_all.at[layer_idx, jnp.arange(b), offset].set(
-                    v[:, 0].astype(v_all.dtype)
+                v_all = v_all.at[layer_idx, rows, offset].set(
+                    v_w[:, 0].astype(v_all.dtype)
                 )
+                if int8_kv:
+                    k_sc_all = k_sc_all.at[layer_idx, rows, offset].set(
+                        k_s[:, 0]
+                    )
+                    v_sc_all = v_sc_all.at[layer_idx, rows, offset].set(
+                        v_s[:, 0]
+                    )
             else:
                 zero = jnp.zeros((), jnp.int32)
                 k_all = jax.lax.dynamic_update_slice(
                     k_all,
-                    k[None].astype(k_all.dtype),
+                    k_w[None].astype(k_all.dtype),
                     (layer_idx, zero, offset, zero, zero),
                 )
                 v_all = jax.lax.dynamic_update_slice(
                     v_all,
-                    v[None].astype(v_all.dtype),
+                    v_w[None].astype(v_all.dtype),
                     (layer_idx, zero, offset, zero, zero),
                 )
+                if int8_kv:
+                    k_sc_all = jax.lax.dynamic_update_slice(
+                        k_sc_all, k_s[None], (layer_idx, zero, offset, zero)
+                    )
+                    v_sc_all = jax.lax.dynamic_update_slice(
+                        v_sc_all, v_s[None], (layer_idx, zero, offset, zero)
+                    )
             k_att = k_all[layer_idx].astype(self.dtype)
             v_att = v_all[layer_idx].astype(self.dtype)
-            new_cache = (k_all, v_all)
+            if int8_kv:
+                new_cache = (k_all, v_all, k_sc_all, v_sc_all)
+                # (B, S, H) → (B, H, 1, S) broadcast over query positions
+                k_sc_b = k_sc_all[layer_idx].transpose(0, 2, 1)[:, :, None, :]
+                v_sc_b = v_sc_all[layer_idx].transpose(0, 2, 1)[:, :, None, :]
+            else:
+                new_cache = (k_all, v_all)
         else:
             k_att, v_att = k, v
             new_cache = None
@@ -314,8 +364,13 @@ class LlamaBlock(nn.Module):
         scores = jnp.einsum(
             "bthd,bshd->bhts", q, k_att, preferred_element_type=jnp.float32
         ) / jnp.sqrt(dh)
+        if int8_kv:
+            scores = scores * k_sc_b
         scores = scores + mask
-        probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+        probs = jax.nn.softmax(scores, axis=-1)
+        if int8_kv:
+            probs = probs * v_sc_b
+        probs = probs.astype(self.dtype)
         attn = jnp.einsum("bhts,bshd->bthd", probs, v_att)
         attn = attn.reshape(b, t, d)
         x = x + self._dense(d, "o_proj")(attn)
@@ -401,8 +456,12 @@ class LlamaTransformer(nn.Module):
             mask = jnp.where(col <= row, 0.0, -1e9)[None, None]
         if paged:
             stacked = cache
+        elif cache is None:
+            stacked = None
+        elif cache.k_scale is not None:
+            stacked = (cache.k, cache.v, cache.k_scale, cache.v_scale)
         else:
-            stacked = (cache.k, cache.v) if cache is not None else None
+            stacked = (cache.k, cache.v)
         for i in range(self.num_layers):
             x, stacked_new = LlamaBlock(
                 num_heads=self.num_heads,
@@ -465,7 +524,11 @@ class LlamaTransformer(nn.Module):
             return logits, stacked  # updated PagedKVCache
         if cache is not None:
             new_cache = KVCache(
-                k=stacked[0], v=stacked[1], length=cache.length + t
+                k=stacked[0],
+                v=stacked[1],
+                length=cache.length + t,
+                k_scale=stacked[2] if len(stacked) == 4 else None,
+                v_scale=stacked[3] if len(stacked) == 4 else None,
             )
             return logits, new_cache
         return logits
@@ -473,6 +536,14 @@ class LlamaTransformer(nn.Module):
     def init_cache(self, batch: int, dtype=jnp.bfloat16) -> KVCache:
         dh = self.hidden_size // self.num_heads
         shape = (self.num_layers, batch, self.max_length, self.num_heads, dh)
+        if dtype == jnp.int8:
+            return KVCache(
+                k=jnp.zeros(shape, jnp.int8),
+                v=jnp.zeros(shape, jnp.int8),
+                length=jnp.zeros((), jnp.int32),
+                k_scale=jnp.zeros(shape[:-1], jnp.float32),
+                v_scale=jnp.zeros(shape[:-1], jnp.float32),
+            )
         return KVCache(
             k=jnp.zeros(shape, dtype),
             v=jnp.zeros(shape, dtype),

@@ -144,11 +144,7 @@ def generate(
             # token of segment c lands at position s + min(...) - 1)
             return s + min((c + 1) * seg, num_tokens)
 
-        cache = KVCache(
-            k=_seg_cache(transformer, b, limit(0), cache_dtype),
-            v=_seg_cache(transformer, b, limit(0), cache_dtype),
-            length=jnp.zeros((), jnp.int32),
-        )
+        cache = _make_seg_cache(transformer, b, limit(0), cache_dtype)
     else:
         seg = None
         cache = transformer.init_cache(b, dtype=cache_dtype)
@@ -199,12 +195,21 @@ def generate(
             chunks.append(toks)
             if c + 1 < n_segs:
                 cache, logits_c = carry
-                grown_k = _seg_cache(transformer, b, limit(c + 1), cache_dtype)
-                grown_v = _seg_cache(transformer, b, limit(c + 1), cache_dtype)
+                grown = _make_seg_cache(transformer, b, limit(c + 1), cache_dtype)
                 cache = KVCache(
-                    k=grown_k.at[:, :, : limit(c)].set(cache.k),
-                    v=grown_v.at[:, :, : limit(c)].set(cache.v),
+                    k=grown.k.at[:, :, : limit(c)].set(cache.k),
+                    v=grown.v.at[:, :, : limit(c)].set(cache.v),
                     length=cache.length,
+                    k_scale=(
+                        grown.k_scale.at[:, :, : limit(c)].set(cache.k_scale)
+                        if grown.k_scale is not None
+                        else None
+                    ),
+                    v_scale=(
+                        grown.v_scale.at[:, :, : limit(c)].set(cache.v_scale)
+                        if grown.v_scale is not None
+                        else None
+                    ),
                 )
                 carry = (cache, logits_c)
         tokens = jnp.concatenate(chunks, axis=0)
@@ -214,8 +219,19 @@ def generate(
     return image_codebook.debias(tokens)
 
 
-def _seg_cache(transformer, batch: int, rows: int, dtype) -> jax.Array:
+def _make_seg_cache(transformer, batch: int, rows: int, dtype) -> KVCache:
     dh = transformer.hidden_size // transformer.num_heads
-    return jnp.zeros(
-        (transformer.num_layers, batch, rows, transformer.num_heads, dh), dtype
+    shape = (transformer.num_layers, batch, rows, transformer.num_heads, dh)
+    if dtype == jnp.int8:
+        return KVCache(
+            k=jnp.zeros(shape, jnp.int8),
+            v=jnp.zeros(shape, jnp.int8),
+            length=jnp.zeros((), jnp.int32),
+            k_scale=jnp.zeros(shape[:-1], jnp.float32),
+            v_scale=jnp.zeros(shape[:-1], jnp.float32),
+        )
+    return KVCache(
+        k=jnp.zeros(shape, dtype),
+        v=jnp.zeros(shape, dtype),
+        length=jnp.zeros((), jnp.int32),
     )
