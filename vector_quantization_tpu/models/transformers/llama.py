@@ -290,15 +290,23 @@ class LlamaBlock(nn.Module):
                     stacked_kv.page_table,
                     offset + 1,
                     layer_idx,
+                    k_scale_pool=stacked_kv.k_scale,
+                    v_scale_pool=stacked_kv.v_scale,
                     # explicit paged_kernel=True off-TPU (tests) interprets
                     interpret=jax.default_backend() != "tpu",
                 )
                 attn = attn.astype(self.dtype).reshape(b, 1, d)
                 x = x + self._dense(d, "o_proj")(attn)
                 return self._ffn(x), new_cache
-            k_att, v_att = paged_gather(stacked_kv, layer_idx)
+            k_att, v_att, k_sc_g, v_sc_g = paged_gather(stacked_kv, layer_idx)
             k_att = k_att.astype(self.dtype)
             v_att = v_att.astype(self.dtype)
+            if k_sc_g is not None:
+                # INT8 pool through the XLA gather path: same scale
+                # placement as the dense int8-KV cache below
+                int8_kv = True
+                k_sc_b = k_sc_g.transpose(0, 2, 1)[:, :, None, :]
+                v_sc_b = v_sc_g.transpose(0, 2, 1)[:, :, None, :]
         elif stacked_kv is not None:
             int8_kv = len(stacked_kv) == 4
             if int8_kv:

@@ -24,6 +24,14 @@ attention, TPU-shaped):
 ``paged_decode_attention(q (B, H, Dh), k_pool/v_pool (L, P, ps, H, Dh),
 page_table (B, P_cap), lengths (B,), layer) → (B, H·Dh) f32``.
 
+INT8 pools: pass ``k_scale_pool``/``v_scale_pool`` (L, P, ps, H) f32 — the
+per-(position, head) max-abs scales ``ops/paged_kv.py`` wrote at update
+time. The scale commutes with the Dh contraction (exactly as the dense
+int8-KV cache proves, models/transformers/llama.py), so the kernel applies
+``k_scale`` to the scores after the q·k reduce and folds ``v_scale`` into
+the probs; the page DMAs stay int8-sized — this is what lets the 1.52x
+int8-KV decode lever reach the paged serving path (VERDICT r3 #1).
+
 The pool is passed WHOLE with the (static) layer index folded into the
 index map — slicing ``pool[layer]`` in XLA would materialise a copy of the
 layer's pool every step.
@@ -49,14 +57,15 @@ def _kernel(
     q_ref,  # (1, H, Dh)
     k_ref,  # (1, 1, ps, H, Dh)
     v_ref,
-    out_ref,  # (1, H, Dh) f32
-    m_ref,  # (1, H) f32 scratch
-    l_ref,  # (1, H) f32 scratch
-    o_ref,  # (H, Dh) f32 scratch
-    *,
+    *rest,  # [ksc_ref, vsc_ref (1, 1, ps, H) f32,] out_ref, m/l/o scratch
     ps: int,
     scale: float,
+    int8: bool,
 ):
+    if int8:
+        ksc_ref, vsc_ref, out_ref, m_ref, l_ref, o_ref = rest
+    else:
+        out_ref, m_ref, l_ref, o_ref = rest
     b = pl.program_id(0)
     p = pl.program_id(1)
     length = len_ref[b]
@@ -75,6 +84,8 @@ def _kernel(
         v = v_ref[0, 0].astype(jnp.float32)
         # scores (ps, H) = sum_d q[h, d] * k[s, h, d]
         scores = jnp.sum(q[None, :, :] * k, axis=-1)
+        if int8:
+            scores = scores * ksc_ref[0, 0]  # per-(position, head) k scale
         pos = p * ps + jax.lax.broadcasted_iota(jnp.int32, (ps, 1), 0)
         scores = jnp.where(pos < length, scores, _NEG)
 
@@ -84,6 +95,8 @@ def _kernel(
         alpha = jnp.exp(m_prev - m_new)  # (1, H)
         probs = jnp.exp(scores - m_new)  # (ps, H)
         l_ref[:] = l_ref[:] * alpha + jnp.sum(probs, axis=0, keepdims=True)
+        if int8:
+            probs = probs * vsc_ref[0, 0]  # fold the v scale into the probs
         # o (H, Dh) = sum_s probs[s, h] * v[s, h, d]
         pv = jnp.sum(probs[:, :, None] * v, axis=0)
         o_ref[:] = o_ref[:] * alpha.reshape(-1, 1) + pv
@@ -103,11 +116,14 @@ def paged_decode_attention(
     lengths: jax.Array,  # (B,) int32 — valid positions per row
     layer: int,
     *,
+    k_scale_pool: jax.Array | None = None,  # (L, P, ps, H) f32 (int8 pools)
+    v_scale_pool: jax.Array | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     b, h, dh = q.shape
     num_layers, num_pages, ps, hk, dhk = k_pool.shape
     assert (h, dh) == (hk, dhk)
+    int8 = k_scale_pool is not None
     p_cap = page_table.shape[1]
     scale = 1.0 / (dh ** 0.5)
 
@@ -120,17 +136,30 @@ def paged_decode_attention(
         pid = table_ref[bi, jnp.minimum(pi, last_valid)]
         return (layer, pid, 0, 0, 0)
 
-    kernel = functools.partial(_kernel, ps=ps, scale=scale)
+    def scale_index(bi, pi, table_ref, len_ref):
+        last_valid = jnp.maximum((len_ref[bi] - 1) // ps, 0)
+        pid = table_ref[bi, jnp.minimum(pi, last_valid)]
+        return (layer, pid, 0, 0)
+
+    kernel = functools.partial(_kernel, ps=ps, scale=scale, int8=int8)
+    in_specs = [
+        pl.BlockSpec((1, h, dh), lambda bi, pi, t, ln: (bi, 0, 0)),
+        pl.BlockSpec((1, 1, ps, h, dh), page_index),
+        pl.BlockSpec((1, 1, ps, h, dh), page_index),
+    ]
+    operands = [q, k_pool, v_pool]
+    if int8:
+        in_specs += [
+            pl.BlockSpec((1, 1, ps, h), scale_index),
+            pl.BlockSpec((1, 1, ps, h), scale_index),
+        ]
+        operands += [k_scale_pool, v_scale_pool]
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, h, dh), lambda bi, pi, t, ln: (bi, 0, 0)),
-                pl.BlockSpec((1, 1, ps, h, dh), page_index),
-                pl.BlockSpec((1, 1, ps, h, dh), page_index),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec(
                 (1, h, dh), lambda bi, pi, t, ln: (bi, 0, 0)
             ),
@@ -145,5 +174,5 @@ def paged_decode_attention(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(page_table, lengths, q, k_pool, v_pool)
+    )(page_table, lengths, *operands)
     return out.reshape(b, h * dh)
