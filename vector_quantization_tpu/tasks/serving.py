@@ -90,6 +90,8 @@ class ARServer:
         # overshoot room: a slot finishing mid-scan keeps decoding until the
         # next host sync (class token + image tokens + (k-1) overshoot)
         needed = 1 + image_tokens + steps_per_sync - 1
+        self._needed = needed
+        self._window: int | None = None
         if not paged and transformer.max_length < needed:
             raise ValueError(
                 f"transformer.max_length {transformer.max_length} < "
@@ -158,6 +160,23 @@ class ARServer:
             ]
         else:
             self.cache = transformer.init_cache(batch_slots, dtype=cache_dtype)
+            if strategy is None:
+                # length-aware window (the generate() segmented-cache trick,
+                # measured 1.8x on decode): keep the slot cache allocated at
+                # the CURRENT position bucket and grow it between syncs, so
+                # attention reads scale with live positions instead of the
+                # full `needed` capacity every step. Buckets of 64 bound the
+                # number of compiled variants. Not applied under TP (resize
+                # ops on sharded carries would churn layouts).
+                self._window = min(64 * -(-steps_per_sync // 64), needed)
+                self.cache = jax.tree_util.tree_map(
+                    lambda a: (
+                        a[:, :, : self._window]
+                        if getattr(a, "ndim", 0) >= 3
+                        else a
+                    ),
+                    self.cache,
+                )
 
         if strategy is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -292,6 +311,16 @@ class ARServer:
                 page_table=self._put(self._page_table[:, :p_cap])
             )
         else:
+            if self._window is not None:
+                # dense window resize (see __init__): rows needed this sync
+                # = furthest active position + steps_per_sync
+                active_rows = np.repeat(self.active, self.lanes)
+                max_pos = int(self.positions[active_rows].max())
+                w = min(
+                    64 * -(-(max_pos + self.steps_per_sync) // 64),
+                    self._needed,
+                )
+                self._resize_window(w)
             cache_in = self.cache
         self.rng, key = jax.random.split(self.rng)
         t_dev0 = time.perf_counter()
@@ -383,6 +412,25 @@ class ARServer:
         return out
 
     # -- internals -----------------------------------------------------------
+
+    def _resize_window(self, w: int) -> None:
+        """Grow (zero-pad) or shrink (slice) the dense slot cache to ``w``
+        rows. One device copy per bucket change — amortised across the
+        sync's ``steps_per_sync`` decode steps."""
+        cur = self.cache.k.shape[2]
+        if w == cur:
+            return
+
+        def fix(a):
+            if getattr(a, "ndim", 0) < 3:
+                return a
+            if w < cur:
+                return a[:, :, :w]
+            pad = [(0, 0)] * a.ndim
+            pad[2] = (0, w - cur)
+            return jnp.pad(a, pad)
+
+        self.cache = jax.tree_util.tree_map(fix, self.cache)
 
     def _allocate_pages(self) -> None:
         """Grow each active row's page list to cover this sync's writes and

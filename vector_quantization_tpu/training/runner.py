@@ -112,6 +112,29 @@ class Trainer(_RunnerBase):
         while True:
             yield from self.dataloader
 
+    def _device_prefetch(self, batches, depth: int = 2):
+        """Keep ``depth`` sharded batches in flight ahead of the consumer:
+        the host→device upload of batch i+1 is issued (async) before the
+        loop blocks on anything from step i, so transfer overlaps compute
+        (the e2e input pipeline is transfer-bound on thin host links —
+        BENCH_r04 dataplane)."""
+        import collections
+
+        pending: collections.deque = collections.deque()
+        it = iter(batches)
+
+        def enqueue(n: int) -> None:
+            for batch in itertools.islice(it, n):
+                pending.append(
+                    self.strategy.shard_batch(_device_batch(batch))
+                )
+
+        enqueue(depth)
+        while pending:
+            out = pending.popleft()
+            yield out
+            enqueue(1)
+
     def run(self) -> TrainState:
         if self.state is None:
             self.init_state()
@@ -122,8 +145,9 @@ class Trainer(_RunnerBase):
         batches = itertools.islice(
             self._batches(), self.max_iters - start
         )
-        for i, batch in enumerate(batches, start=start + 1):
-            device_batch = self.strategy.shard_batch(_device_batch(batch))
+        for i, device_batch in enumerate(
+            self._device_prefetch(batches), start=start + 1
+        ):
             self.state, metrics = step_fn(self.state, device_batch)
             for cb in self.callbacks:
                 cb.after_run_iter(i, metrics)
