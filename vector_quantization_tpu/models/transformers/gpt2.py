@@ -38,37 +38,67 @@ class _GPT2Block(nn.Module):
         q = q.reshape(b, t, h, dh)
         k = k.reshape(b, t, h, dh)
         v = v.reshape(b, t, h, dh)
+        int8_kv = False
         if stacked_kv is not None:
-            # in-place stacked-cache scatter (see llama.py LlamaBlock)
-            k_all, v_all = stacked_kv
+            # per-layer (B, S, H, Dh) arrays — in-place writes (see
+            # llama.py KVCache: stacked-carry scatters copy the stack)
+            from .llama import _quant_kv
+
+            int8_kv = len(stacked_kv) == 4
+            if int8_kv:
+                k_all, v_all, k_sc_all, v_sc_all = stacked_kv
+                k_w, k_s = _quant_kv(k)
+                v_w, v_s = _quant_kv(v)
+            else:
+                k_all, v_all = stacked_kv
+                k_w, v_w = k, v
             if offset is not None and getattr(offset, "ndim", 0) == 1:
                 # per-slot positions (continuous batching): t == 1
-                k_all = k_all.at[layer_idx, jnp.arange(b), offset].set(
-                    k[:, 0].astype(k_all.dtype)
+                rows = jnp.arange(b)
+                k_all = k_all.at[rows, offset].set(
+                    k_w[:, 0].astype(k_all.dtype)
                 )
-                v_all = v_all.at[layer_idx, jnp.arange(b), offset].set(
-                    v[:, 0].astype(v_all.dtype)
+                v_all = v_all.at[rows, offset].set(
+                    v_w[:, 0].astype(v_all.dtype)
                 )
+                if int8_kv:
+                    k_sc_all = k_sc_all.at[rows, offset].set(k_s[:, 0])
+                    v_sc_all = v_sc_all.at[rows, offset].set(v_s[:, 0])
             else:
                 zero = jnp.zeros((), jnp.int32)
                 k_all = jax.lax.dynamic_update_slice(
-                    k_all, k[None].astype(k_all.dtype),
-                    (layer_idx, zero, offset, zero, zero),
+                    k_all, k_w.astype(k_all.dtype), (zero, offset, zero, zero)
                 )
                 v_all = jax.lax.dynamic_update_slice(
-                    v_all, v[None].astype(v_all.dtype),
-                    (layer_idx, zero, offset, zero, zero),
+                    v_all, v_w.astype(v_all.dtype), (zero, offset, zero, zero)
                 )
-            k_att = k_all[layer_idx].astype(self.dtype)
-            v_att = v_all[layer_idx].astype(self.dtype)
-            new_cache = (k_all, v_all)
+                if int8_kv:
+                    k_sc_all = jax.lax.dynamic_update_slice(
+                        k_sc_all, k_s, (zero, offset, zero)
+                    )
+                    v_sc_all = jax.lax.dynamic_update_slice(
+                        v_sc_all, v_s, (zero, offset, zero)
+                    )
+            k_att = k_all.astype(self.dtype)
+            v_att = v_all.astype(self.dtype)
+            if int8_kv:
+                new_cache = (k_all, v_all, k_sc_all, v_sc_all)
+                k_sc_b = k_sc_all.transpose(0, 2, 1)[:, :, None, :]
+                v_sc_b = v_sc_all.transpose(0, 2, 1)[:, :, None, :]
+            else:
+                new_cache = (k_all, v_all)
         else:
             k_att, v_att = k, v
             new_cache = None
         scores = jnp.einsum(
             "bthd,bshd->bhts", q, k_att, preferred_element_type=jnp.float32
         ) / jnp.sqrt(dh)
-        probs = jax.nn.softmax(scores + mask, axis=-1).astype(self.dtype)
+        if int8_kv:
+            scores = scores * k_sc_b
+        probs = jax.nn.softmax(scores + mask, axis=-1)
+        if int8_kv:
+            probs = probs * v_sc_b
+        probs = probs.astype(self.dtype)
         attn = jnp.einsum("bhts,bshd->bthd", probs, v_att).reshape(b, t, d)
         x = x + nn.Dense(
             d, kernel_init=_init, dtype=self.dtype, name="c_proj"
@@ -112,7 +142,7 @@ class GPT2Transformer(nn.Module):
             )
             pos = wpe[slot_positions][:, None]  # (B, 1, D)
             offset = slot_positions
-            s = cache.k.shape[2]
+            s = cache.window
             col = jnp.arange(s)[None, None, None, :]  # (1,1,1,S)
             row = slot_positions[:, None, None, None]  # (B,1,1,1)
             mask = jnp.where(col <= row, 0.0, -1e9)
@@ -125,19 +155,31 @@ class GPT2Transformer(nn.Module):
                 causal = jnp.tril(jnp.ones((t, t), jnp.bool_))
                 mask = jnp.where(causal, 0.0, -1e9)[None, None]
             else:
-                s = cache.k.shape[2]
+                s = cache.window
                 col = jnp.arange(s)[None, :]
                 row = jnp.arange(t)[:, None] + offset
                 mask = jnp.where(col <= row, 0.0, -1e9)[None, None]
         x = (wte[tokens] + pos).astype(self.dtype)
 
-        stacked = (cache.k, cache.v) if cache is not None else None
+        int8_cache = cache is not None and cache.k_scale is not None
+        k_list = list(cache.k) if cache is not None else None
+        v_list = list(cache.v) if cache is not None else None
+        ks_list = list(cache.k_scale) if int8_cache else None
+        vs_list = list(cache.v_scale) if int8_cache else None
         for i in range(self.num_layers):
-            x, stacked_new = _GPT2Block(
+            if cache is None:
+                layer_kv = None
+            elif int8_cache:
+                layer_kv = (k_list[i], v_list[i], ks_list[i], vs_list[i])
+            else:
+                layer_kv = (k_list[i], v_list[i])
+            x, updated = _GPT2Block(
                 num_heads=self.num_heads, dtype=self.dtype, name=f"h{i}"
-            )(x, mask, stacked, i, offset if cache is not None else None)
-            if stacked_new is not None:
-                stacked = stacked_new
+            )(x, mask, layer_kv, i, offset if cache is not None else None)
+            if updated is not None:
+                k_list[i], v_list[i] = updated[0], updated[1]
+                if int8_cache:
+                    ks_list[i], vs_list[i] = updated[2], updated[3]
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_f")(x)
         logits = jnp.einsum(
             "btd,vd->btv",
@@ -147,15 +189,18 @@ class GPT2Transformer(nn.Module):
         )  # tied head
         if cache is not None:
             return logits, KVCache(
-                k=stacked[0], v=stacked[1], length=cache.length + t
+                k=tuple(k_list),
+                v=tuple(v_list),
+                length=cache.length + t,
+                k_scale=tuple(ks_list) if int8_cache else None,
+                v_scale=tuple(vs_list) if int8_cache else None,
             )
         return logits
 
     def init_cache(self, batch: int, dtype=jnp.bfloat16) -> KVCache:
+        from .llama import make_dense_cache
+
         dh = self.hidden_size // self.num_heads
-        shape = (self.num_layers, batch, self.max_length, self.num_heads, dh)
-        return KVCache(
-            k=jnp.zeros(shape, dtype),
-            v=jnp.zeros(shape, dtype),
-            length=jnp.zeros((), jnp.int32),
+        return make_dense_cache(
+            self.num_layers, batch, self.max_length, self.num_heads, dh, dtype
         )

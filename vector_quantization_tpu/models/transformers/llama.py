@@ -30,26 +30,38 @@ from jax.sharding import PartitionSpec as P
 
 from ...registries import TransformerRegistry
 
-__all__ = ["LlamaTransformer", "KVCache", "Int8Dense", "quantize_params_int8", "fuse_llama_params", "llama_tp_param_spec"]
+__all__ = ["LlamaTransformer", "KVCache", "Int8Dense", "quantize_params_int8", "fuse_llama_params", "llama_tp_param_spec", "make_dense_cache"]
 
 _dense_init = nn.initializers.normal(0.02)
 
 
 class KVCache(NamedTuple):
-    """Per-layer stacked static cache: k/v (L_layers, B, L_max, H, Dh).
+    """Static decode cache: k/v are PER-LAYER tuples of (B, L_max, H, Dh).
 
-    With ``k_scale``/``v_scale`` set (shape (L, B, L_max, H)), k/v hold
+    Per-layer arrays (not one stacked (L, ...) array) because the
+    continuous-batching slot path writes each token with a per-row scatter
+    (`.at[rows, positions].set`), and XLA does not alias a scatter into a
+    slice of a large stacked carry — it copies the whole stack every layer
+    step. Measured on v5e at the serving shape (24L, b64, S321): stacked
+    int8 scatter+read 5.07 ms/step vs per-layer 2.85 (bf16: 3.96 vs 4.18)
+    — work_dirs/exp/exp_slot_int8_probe{,2}.py.
+
+    With ``k_scale``/``v_scale`` set (per-layer (B, L_max, H)), k/v hold
     INT8 values quantised per (position, head) — halves the decode-dominant
     KV HBM traffic; the per-head scale commutes with the Dh contraction so
-    attention applies it after the score matmul / folds it into the probs
-    (measured 1.21x on the attention read at b64, BENCH_r03).
+    attention applies it after the score matmul / folds it into the probs.
     """
 
-    k: jax.Array
-    v: jax.Array
+    k: tuple[jax.Array, ...]
+    v: tuple[jax.Array, ...]
     length: jax.Array  # () int32 — number of valid positions
-    k_scale: jax.Array | None = None
-    v_scale: jax.Array | None = None
+    k_scale: tuple[jax.Array, ...] | None = None
+    v_scale: tuple[jax.Array, ...] | None = None
+
+    @property
+    def window(self) -> int:
+        """Cache rows per slot (the attention window)."""
+        return self.k[0].shape[1]
 
 
 class Int8Dense(nn.Module):
@@ -162,6 +174,36 @@ def fuse_llama_params(params: Any) -> Any:
         else:
             out[key] = val
     return out
+
+
+def make_dense_cache(
+    num_layers: int,
+    batch: int,
+    rows: int,
+    num_heads: int,
+    head_dim: int,
+    dtype=jnp.bfloat16,
+) -> KVCache:
+    """Per-layer static cache with ``rows`` positions per slot (INT8 when
+    ``dtype == jnp.int8``: int8 values + f32 per-(position, head) scales)."""
+    shape = (batch, rows, num_heads, head_dim)
+    if dtype == jnp.int8:
+        return KVCache(
+            k=tuple(jnp.zeros(shape, jnp.int8) for _ in range(num_layers)),
+            v=tuple(jnp.zeros(shape, jnp.int8) for _ in range(num_layers)),
+            length=jnp.zeros((), jnp.int32),
+            k_scale=tuple(
+                jnp.zeros(shape[:-1], jnp.float32) for _ in range(num_layers)
+            ),
+            v_scale=tuple(
+                jnp.zeros(shape[:-1], jnp.float32) for _ in range(num_layers)
+            ),
+        )
+    return KVCache(
+        k=tuple(jnp.zeros(shape, dtype) for _ in range(num_layers)),
+        v=tuple(jnp.zeros(shape, dtype) for _ in range(num_layers)),
+        length=jnp.zeros((), jnp.int32),
+    )
 
 
 def _quant_kv(x: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -308,6 +350,7 @@ class LlamaBlock(nn.Module):
                 k_sc_b = k_sc_g.transpose(0, 2, 1)[:, :, None, :]
                 v_sc_b = v_sc_g.transpose(0, 2, 1)[:, :, None, :]
         elif stacked_kv is not None:
+            # per-layer arrays: k/v (B, S, H, Dh), scales (B, S, H)
             int8_kv = len(stacked_kv) == 4
             if int8_kv:
                 # INT8 KV: per-(position, head) max-abs scales; the scale
@@ -322,47 +365,45 @@ class LlamaBlock(nn.Module):
                 k_w, v_w = k, v
             if offset is not None and getattr(offset, "ndim", 0) == 1:
                 # per-slot positions (continuous batching): t == 1, each
-                # batch row writes its own cache position
+                # batch row writes its own cache position. Scatter on the
+                # per-layer array aliases in place (a stacked-carry scatter
+                # would copy the whole stack — see KVCache docstring).
                 rows = jnp.arange(b)
-                k_all = k_all.at[layer_idx, rows, offset].set(
+                k_all = k_all.at[rows, offset].set(
                     k_w[:, 0].astype(k_all.dtype)
                 )
-                v_all = v_all.at[layer_idx, rows, offset].set(
+                v_all = v_all.at[rows, offset].set(
                     v_w[:, 0].astype(v_all.dtype)
                 )
                 if int8_kv:
-                    k_sc_all = k_sc_all.at[layer_idx, rows, offset].set(
-                        k_s[:, 0]
-                    )
-                    v_sc_all = v_sc_all.at[layer_idx, rows, offset].set(
-                        v_s[:, 0]
-                    )
+                    k_sc_all = k_sc_all.at[rows, offset].set(k_s[:, 0])
+                    v_sc_all = v_sc_all.at[rows, offset].set(v_s[:, 0])
             else:
                 zero = jnp.zeros((), jnp.int32)
                 k_all = jax.lax.dynamic_update_slice(
                     k_all,
-                    k_w[None].astype(k_all.dtype),
-                    (layer_idx, zero, offset, zero, zero),
+                    k_w.astype(k_all.dtype),
+                    (zero, offset, zero, zero),
                 )
                 v_all = jax.lax.dynamic_update_slice(
                     v_all,
-                    v_w[None].astype(v_all.dtype),
-                    (layer_idx, zero, offset, zero, zero),
+                    v_w.astype(v_all.dtype),
+                    (zero, offset, zero, zero),
                 )
                 if int8_kv:
                     k_sc_all = jax.lax.dynamic_update_slice(
-                        k_sc_all, k_s[None], (layer_idx, zero, offset, zero)
+                        k_sc_all, k_s, (zero, offset, zero)
                     )
                     v_sc_all = jax.lax.dynamic_update_slice(
-                        v_sc_all, v_s[None], (layer_idx, zero, offset, zero)
+                        v_sc_all, v_s, (zero, offset, zero)
                     )
-            k_att = k_all[layer_idx].astype(self.dtype)
-            v_att = v_all[layer_idx].astype(self.dtype)
+            k_att = k_all.astype(self.dtype)
+            v_att = v_all.astype(self.dtype)
             if int8_kv:
                 new_cache = (k_all, v_all, k_sc_all, v_sc_all)
                 # (B, S, H) → (B, H, 1, S) broadcast over query positions
-                k_sc_b = k_sc_all[layer_idx].transpose(0, 2, 1)[:, :, None, :]
-                v_sc_b = v_sc_all[layer_idx].transpose(0, 2, 1)[:, :, None, :]
+                k_sc_b = k_sc_all.transpose(0, 2, 1)[:, :, None, :]
+                v_sc_b = v_sc_all.transpose(0, 2, 1)[:, :, None, :]
             else:
                 new_cache = (k_all, v_all)
         else:
@@ -448,7 +489,7 @@ class LlamaTransformer(nn.Module):
         elif slot_positions is not None:
             assert t == 1, "slot_positions requires single-token decode"
             positions = slot_positions[:, None]  # (B, 1)
-            s = cache.logical_length if paged else cache.k.shape[2]
+            s = cache.logical_length if paged else cache.window
             col = jnp.arange(s)[None, None, None, :]  # (1,1,1,S)
             row = slot_positions[:, None, None, None]  # (B,1,1,1)
             mask = jnp.where(col <= row, 0.0, -1e9)
@@ -458,19 +499,26 @@ class LlamaTransformer(nn.Module):
             offset = cache.length
             positions = jnp.broadcast_to(jnp.arange(t) + offset, (b, t))
             # attend to all cache positions < offset + current causal block
-            s = cache.k.shape[2]  # L_max
+            s = cache.window  # L_max
             col = jnp.arange(s)[None, :]
             row = jnp.arange(t)[:, None] + offset
             mask = jnp.where(col <= row, 0.0, -1e9)[None, None]
-        if paged:
-            stacked = cache
-        elif cache is None:
-            stacked = None
-        elif cache.k_scale is not None:
-            stacked = (cache.k, cache.v, cache.k_scale, cache.v_scale)
-        else:
-            stacked = (cache.k, cache.v)
+        int8_cache = (
+            cache is not None and not paged and cache.k_scale is not None
+        )
+        if not paged and cache is not None:
+            k_list, v_list = list(cache.k), list(cache.v)
+            ks_list = list(cache.k_scale) if int8_cache else None
+            vs_list = list(cache.v_scale) if int8_cache else None
+        stacked = cache if paged else None
         for i in range(self.num_layers):
+            if not paged and cache is not None:
+                # per-layer arrays (see KVCache docstring: a stacked carry
+                # would turn every slot scatter into a full-stack copy)
+                if int8_cache:
+                    stacked = (k_list[i], v_list[i], ks_list[i], vs_list[i])
+                else:
+                    stacked = (k_list[i], v_list[i])
             x, stacked_new = LlamaBlock(
                 num_heads=self.num_heads,
                 ffn_dim=self.ffn_dim,
@@ -482,7 +530,15 @@ class LlamaTransformer(nn.Module):
                 name=f"layer{i}",
             )(x, positions, mask, stacked, i, offset)
             if stacked_new is not None:
-                stacked = stacked_new
+                if paged:
+                    stacked = stacked_new
+                else:
+                    k_list[i], v_list[i] = stacked_new[0], stacked_new[1]
+                    if int8_cache:
+                        ks_list[i], vs_list[i] = (
+                            stacked_new[2],
+                            stacked_new[3],
+                        )
 
         x = RMSNorm(dtype=self.dtype, name="final_norm")(x)
         if self.quantize:
@@ -532,30 +588,19 @@ class LlamaTransformer(nn.Module):
             return logits, stacked  # updated PagedKVCache
         if cache is not None:
             new_cache = KVCache(
-                k=stacked[0],
-                v=stacked[1],
+                k=tuple(k_list),
+                v=tuple(v_list),
                 length=cache.length + t,
-                k_scale=stacked[2] if len(stacked) == 4 else None,
-                v_scale=stacked[3] if len(stacked) == 4 else None,
+                k_scale=tuple(ks_list) if int8_cache else None,
+                v_scale=tuple(vs_list) if int8_cache else None,
             )
             return logits, new_cache
         return logits
 
     def init_cache(self, batch: int, dtype=jnp.bfloat16) -> KVCache:
         dh = self.hidden_size // self.num_heads
-        shape = (self.num_layers, batch, self.max_length, self.num_heads, dh)
-        if dtype == jnp.int8:
-            return KVCache(
-                k=jnp.zeros(shape, jnp.int8),
-                v=jnp.zeros(shape, jnp.int8),
-                length=jnp.zeros((), jnp.int32),
-                k_scale=jnp.zeros(shape[:-1], jnp.float32),
-                v_scale=jnp.zeros(shape[:-1], jnp.float32),
-            )
-        return KVCache(
-            k=jnp.zeros(shape, dtype),
-            v=jnp.zeros(shape, dtype),
-            length=jnp.zeros((), jnp.int32),
+        return make_dense_cache(
+            self.num_layers, batch, self.max_length, self.num_heads, dh, dtype
         )
 
     def init_paged_cache(

@@ -195,19 +195,26 @@ def generate(
             chunks.append(toks)
             if c + 1 < n_segs:
                 cache, logits_c = carry
-                grown = _make_seg_cache(transformer, b, limit(c + 1), cache_dtype)
+                lim = limit(c)
+
+                def grow(a):
+                    # per-layer (B, S, H[, Dh]) arrays: pad the row axis
+                    pad = [(0, 0)] * a.ndim
+                    pad[1] = (0, limit(c + 1) - lim)
+                    return jnp.pad(a, pad)
+
                 cache = KVCache(
-                    k=grown.k.at[:, :, : limit(c)].set(cache.k),
-                    v=grown.v.at[:, :, : limit(c)].set(cache.v),
+                    k=tuple(grow(a) for a in cache.k),
+                    v=tuple(grow(a) for a in cache.v),
                     length=cache.length,
                     k_scale=(
-                        grown.k_scale.at[:, :, : limit(c)].set(cache.k_scale)
-                        if grown.k_scale is not None
+                        tuple(grow(a) for a in cache.k_scale)
+                        if cache.k_scale is not None
                         else None
                     ),
                     v_scale=(
-                        grown.v_scale.at[:, :, : limit(c)].set(cache.v_scale)
-                        if grown.v_scale is not None
+                        tuple(grow(a) for a in cache.v_scale)
+                        if cache.v_scale is not None
                         else None
                     ),
                 )
@@ -220,18 +227,13 @@ def generate(
 
 
 def _make_seg_cache(transformer, batch: int, rows: int, dtype) -> KVCache:
-    dh = transformer.hidden_size // transformer.num_heads
-    shape = (transformer.num_layers, batch, rows, transformer.num_heads, dh)
-    if dtype == jnp.int8:
-        return KVCache(
-            k=jnp.zeros(shape, jnp.int8),
-            v=jnp.zeros(shape, jnp.int8),
-            length=jnp.zeros((), jnp.int32),
-            k_scale=jnp.zeros(shape[:-1], jnp.float32),
-            v_scale=jnp.zeros(shape[:-1], jnp.float32),
-        )
-    return KVCache(
-        k=jnp.zeros(shape, dtype),
-        v=jnp.zeros(shape, dtype),
-        length=jnp.zeros((), jnp.int32),
+    from ..models.transformers.llama import make_dense_cache
+
+    return make_dense_cache(
+        transformer.num_layers,
+        batch,
+        rows,
+        transformer.num_heads,
+        transformer.hidden_size // transformer.num_heads,
+        dtype,
     )

@@ -94,18 +94,17 @@ def main():
         ("dense_bf16_k64", dict(cache_dtype=jnp.bfloat16, k=64, paged=False)),
         ("dense_int8kv_k64", dict(cache_dtype=jnp.int8, k=64, paged=False)),
         ("dense_int8kv_k128", dict(cache_dtype=jnp.int8, k=128, paged=False)),
-        ("paged_int8kv_k64_kernel", dict(cache_dtype=jnp.int8, k=64, paged=True)),
-        (
-            "paged_int8kv_k64_gather",
-            dict(cache_dtype=jnp.int8, k=64, paged=True, paged_kernel=False),
-        ),
-        (
-            "paged_bf16_k64_gather",
-            dict(cache_dtype=jnp.bfloat16, k=64, paged=True, paged_kernel=False),
-        ),
         (
             "dense_int8w_int8kv_k64",
             dict(cache_dtype=jnp.int8, k=64, paged=False, quantize=True),
+        ),
+        (
+            "dense_int8w_int8kv_k128",
+            dict(cache_dtype=jnp.int8, k=128, paged=False, quantize=True),
+        ),
+        (
+            "dense_int8w_bf16kv_k64",
+            dict(cache_dtype=jnp.bfloat16, k=64, paged=False, quantize=True),
         ),
     ]
     out = {}
