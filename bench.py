@@ -753,13 +753,14 @@ def dataplane_tokenize(model, params) -> dict | None:
         np.asarray(outs[-1])
         t_seq = time.perf_counter() - t0
 
-        # pipelined: decode thread → upload thread (device_put) → compute
-        # consumer; e2e ≈ max(decode, upload, compute) + pipeline fill
+        # pipelined: a decode thread prefetches; the consumer issues the
+        # (async) device_put + tokenize dispatch, so upload and compute
+        # overlap through the dispatch queue. A separate uploader THREAD
+        # measured slower — concurrent tunnel clients contend.
         import queue
         import threading
 
         q_raw: queue.Queue = queue.Queue(maxsize=4)
-        q_dev: queue.Queue = queue.Queue(maxsize=4)
 
         def producer():
             for i in range(0, n_images, batch):
@@ -769,31 +770,18 @@ def dataplane_tokenize(model, params) -> dict | None:
                 q_raw.put(pix)
             q_raw.put(None)
 
-        def uploader():
-            while True:
-                pix = q_raw.get()
-                if pix is None:
-                    q_dev.put(None)
-                    return
-                q_dev.put(jax.device_put(pix))
-
         t0 = time.perf_counter()
-        threads = [
-            threading.Thread(target=producer, daemon=True),
-            threading.Thread(target=uploader, daemon=True),
-        ]
-        for th in threads:
-            th.start()
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
         outs = []
         while True:
-            buf = q_dev.get()
-            if buf is None:
+            pix = q_raw.get()
+            if pix is None:
                 break
-            outs.append(tokenize(params, buf))
+            outs.append(tokenize(params, jax.device_put(pix)))
         np.asarray(outs[-1])
         t_pipe = time.perf_counter() - t0
-        for th in threads:
-            th.join()
+        thread.join()
         return {
             "img_per_s_e2e_pipelined": round(n_images / t_pipe, 1),
             "img_per_s_e2e_sequential": round(n_images / t_seq, 1),

@@ -74,13 +74,14 @@ def _nearest_kernel(x_ref, e_ref, esq_ref, codes_ref, best_ref, idx_ref):
 
 def _auto_block_k(k_pad: int, d_pad: int, itemsize: int) -> int:
     """Codebook tile size. Measured on v5e with
-    ``dimension_semantics=("parallel", "arbitrary")`` (r3 sweep,
-    work_dirs/exp/exp_lookup.py): 2048-row tiles double-buffer the codebook
-    DMA against the distance matmul and beat both the whole-codebook tile
-    (r2's choice — no pipelining, VMEM-pressure spills; 0.95x of XLA in
-    BENCH_r02) and larger tiles; with them the kernel reaches parity with
-    XLA at the flagship shape and leads at the f8 shape."""
-    block = 2048
+    ``dimension_semantics=("parallel", "arbitrary")`` (r4 sweep,
+    work_dirs/exp/exp_lookup_r4.py, 5 interleaved trials): 4096-row tiles
+    beat 2048 (r3's pick) at every block_n — 1.32x vs XLA at the f8
+    16384x16384x64 shape (spread 0.04) and 0.97x at the flagship
+    16384x16384x256 (kernel's best; XLA still wins there, see
+    ``_default_use_pallas``). 1024-row tiles are the worst of all
+    (0.65-0.77x): too little work per DMA round."""
+    block = 4096
     if k_pad <= block:
         return k_pad
     # keep a tile under ~4 MB so two buffers fit VMEM alongside the x tile
@@ -94,7 +95,7 @@ def _nearest_codes_pallas(
     x: jax.Array,
     codebook: jax.Array,
     *,
-    block_n: int = 512,
+    block_n: int | None = None,
     block_k: int | None = None,
     interpret: bool = False,
 ) -> jax.Array:
@@ -102,6 +103,10 @@ def _nearest_codes_pallas(
     k, dk = codebook.shape
     assert d == dk
 
+    if block_n is None:
+        # r4 sweep: 2048-row input tiles best at every winning block_k
+        # (1.318 vs 1.229 at n512, f8 shape); small inputs keep one tile
+        block_n = 2048 if n >= 2048 else _round_up(max(n, 8), 8)
     d_pad = _round_up(max(d, 128), 128)
     if block_k is None:
         block_k = _auto_block_k(
@@ -170,14 +175,14 @@ def nearest_codes_xla(
 def _default_use_pallas(d: int) -> bool:
     """Shipped dispatch default for :func:`nearest_codes`, by code dim.
 
-    Measured end-to-end on v5e across r3 runs (work_dirs/exp/exp_lookup.py
-    + BENCH_r03): at the flagship f16 shape (D=256) the fused kernel and
-    the XLA distance+argmin path are equal within run-to-run noise
-    (pallas/xla img/s ratio 0.99-1.03 over five runs — the conv encoder is
-    the bottleneck at ~86% MFU); at the LlamaGen-f8 shape (D=64, 16384
-    codes) the kernel leans ahead (+1% to +5%, mean ~+2%: the XLA path's
-    materialised N×K distance matrix costs relatively more when D is
-    narrow). The dispatch follows: Pallas for narrow code dims, XLA
+    Measured on v5e, r4 block sweep (work_dirs/exp/exp_lookup_r4.py, five
+    interleaved trials per config): with the tuned 2048x4096 tiles the
+    kernel wins 1.32x vs XLA at the LlamaGen-f8 microshape
+    (16384x16384x64, spread 0.04 — the XLA path's materialised N×K
+    distance matrix costs relatively more when D is narrow), while at the
+    flagship D=256 shape the kernel's BEST config still measures 0.97x,
+    so XLA ships there (the conv encoder dominates the e2e headline at
+    ~86% MFU either way). Dispatch: Pallas for narrow code dims, XLA
     otherwise; both stay selectable via ``use_pallas``.
     """
     return d < 128

@@ -21,7 +21,10 @@ from vector_quantization_tpu.ops.vq_lookup import (
 )
 
 # the f8 microshape: encoder emits 16*32*32 rows of D=64 against 16384 codes
-N, K, D = 16 * 32 * 32, 16384, 64
+import os
+N = int(os.environ.get("LK_N", 16 * 32 * 32))
+K = int(os.environ.get("LK_K", 16384))
+D = int(os.environ.get("LK_D", 64))
 CHAIN = 96
 TRIALS = 5
 
