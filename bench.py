@@ -454,18 +454,20 @@ def serving_tokens_per_sec(
     *,
     quantize: bool = False,
     cache_dtype=jnp.int8,
-    steps_per_sync: int = 64,
+    steps_per_sync: int = 128,
 ) -> dict:
     """ARServer end-to-end: R requests through the continuous-batching slot
     loop at the production recipe. Counts only delivered image tokens (CFG
     pairs two lanes per stream). Returns the throughput plus the decode-
     step waste breakdown (VERDICT r3 #3).
 
-    steps_per_sync 64: a 256-image-token request is exactly 256 decode
-    steps (the prefill token is consumed by the first scan step), so k=64
-    divides it with ZERO overshoot, and the host sync cost is ~2 ms/sync
-    (<1%). The dense windowed cache grows 64→256 across the wave and the
-    aligned fast path keeps attention on the scalar-offset form.
+    steps_per_sync 128: a 256-image-token request is exactly 256 decode
+    steps (the prefill token is consumed by the first scan step), so 128
+    divides it with ZERO overshoot in 2 syncs/wave — each host sync costs
+    a ~27 ms tunnel RPC, and k=128 measured +6% steady-state over k=64
+    (windows 128/256 vs 64..256; the RPC saving wins). The dense windowed
+    cache grows across the wave and the aligned fast path keeps attention
+    on the scalar-offset form.
     """
     from vector_quantization_tpu.models.transformers.llama import (
         LlamaTransformer,
@@ -635,6 +637,10 @@ def train_step_bench(overhead: float, on_tpu_: bool) -> dict:
         vqkd_cfg["teacher"]["proj_dim"] = 64
 
     out = {}
+    out["ar_c2i_b64"] = _ar_train_bench(
+        overhead, peak_flops, batch=64 if on_tpu_ else 2, steps=steps,
+        full_size=on_tpu_,
+    )
     for tag, cfg, batch, img in (
         ("vqgan_256px", vqgan_cfg, vqgan_batch, vqgan_img),
         ("vqkd_224px", vqkd_cfg, vqkd_batch, vqkd_img),
@@ -669,6 +675,74 @@ def train_step_bench(overhead: float, on_tpu_: bool) -> dict:
         except Exception as exc:  # record, don't kill the artifact
             out[tag] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
     return out
+
+
+def _ar_train_bench(
+    overhead: float,
+    peak_flops: float,
+    batch: int,
+    steps: int,
+    full_size: bool = True,
+) -> dict:
+    """Stage-2 AR training: teacher-forced CE step on Llama-medium over
+    [class | 256 image codes] sequences (reference recipe: batch 256
+    global, configs/llamagen/ar.py — per-chip batch here, scales with DP).
+    The AR stage trains on pre-tokenized corpora (tools/tokenize_llamagen),
+    so the step is transformer + CE + AdamW only."""
+    import optax
+
+    from vector_quantization_tpu.models.transformers.llama import (
+        LlamaTransformer,
+    )
+    from vector_quantization_tpu.tasks.sequence_modeling import next_token_ce
+
+    try:
+        cfg = (
+            AR_CFG
+            if full_size
+            else dict(hidden_size=128, num_layers=2, num_heads=2, ffn_dim=256)
+        )
+        tr = LlamaTransformer(
+            vocabulary_size=NUM_CATEGORIES + 1 + AR_CODEBOOK,
+            max_length=1 + AR_LONG,
+            dtype=jnp.bfloat16,
+            **cfg,
+        )
+        tokens = jnp.zeros((batch, 1 + AR_LONG), jnp.int32)
+        params = tr.init(jax.random.PRNGKey(0), tokens[:1, :8])["params"]
+        tx = optax.adamw(1e-4, weight_decay=5e-2)
+        opt_state = tx.init(params)
+
+        @jax.jit
+        def step(params, opt_state, tokens):
+            def loss_fn(p):
+                return next_token_ce(tr.apply({"params": p}, tokens), tokens)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        flops = float(
+            step.lower(params, opt_state, tokens)
+            .compile()
+            .cost_analysis()["flops"]
+        )
+        params, opt_state, _ = step(params, opt_state, tokens)
+        jax.block_until_ready(params)
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            params, opt_state, loss = step(params, opt_state, tokens)
+        jax.block_until_ready(params)
+        dt = (time.perf_counter() - t0 - overhead) / steps
+        return {
+            "tokens_per_s": round(batch * (1 + AR_LONG) / dt, 1),
+            "img_per_s": round(batch / dt, 2),
+            "step_ms": round(dt * 1e3, 1),
+            "batch": batch,
+            "mfu": round(flops / dt / peak_flops, 3),
+        }
+    except Exception as exc:
+        return {"error": f"{type(exc).__name__}: {exc}"[:200]}
 
 
 # -- dataplane --------------------------------------------------------------
@@ -936,7 +1010,13 @@ def main() -> None:
                 f"b64 int8 {sol64_i8:.0f} ({int8_64 / sol64_i8:.0%}). "
                 "Against r2's full-window SOL formula "
                 f"({sol64_full:.0f} tok/s at b64) the bf16 decode is at "
-                f"{bf16_64 / sol64_full:.0%} (r2 measured 46%)."
+                f"{bf16_64 / sol64_full:.0%} (r2 measured 46%). "
+                "kv_segment sweep (r4, work_dirs/exp/exp_kvseg_r4.py, b64): "
+                "seg32 is the measured optimum for BOTH cache modes (bf16 "
+                "15.6/16.7/16.7/12.0k at seg 8/16/32/64; int8kv "
+                "21.4/22.5/24.4/17.1k) — smaller segments pay more "
+                "scan-boundary/regrow overhead than they save in KV reads, "
+                "so the remaining SOL gap is not segment-addressable."
             ),
             "images_per_s_at_256px_f16": round(
                 max(bf16_64, int8_64, int8kv_64) / 256, 2
@@ -1071,14 +1151,21 @@ def _compact(r: dict) -> dict:
     tr = r.get("train")
     if tr:
         out["train"] = {
-            tag: {
-                "img_s": sec.get("img_per_s"),
-                "ms": sec.get("step_ms"),
-                "mfu": sec.get("mfu"),
-                "b": sec.get("batch"),
-            }
-            if "error" not in sec
-            else {"error": sec["error"][:60]}
+            tag: (
+                {
+                    "img_s": sec.get("img_per_s"),
+                    "ms": sec.get("step_ms"),
+                    "mfu": sec.get("mfu"),
+                    "b": sec.get("batch"),
+                    **(
+                        {"tok_s": sec["tokens_per_s"]}
+                        if "tokens_per_s" in sec
+                        else {}
+                    ),
+                }
+                if "error" not in sec
+                else {"error": sec["error"][:60]}
+            )
             for tag, sec in tr.items()
         }
     dp = r.get("dataplane")
