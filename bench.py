@@ -400,6 +400,7 @@ def int8_kernel_microbench(overhead: float) -> dict:
     }
     for fn, w, s in runs.values():
         float(fn(x0, jnp.float32(0), w, s))  # compile
+        float(fn(x0, jnp.float32(0.5), w, s))  # warm execution path
     trials = 5
     ts: dict[str, list[float]] = {name: [] for name in runs}
     for i in range(trials):
@@ -706,6 +707,8 @@ def _ar_train_bench(
             vocabulary_size=NUM_CATEGORIES + 1 + AR_CODEBOOK,
             max_length=1 + AR_LONG,
             dtype=jnp.bfloat16,
+            remat=True,  # per-block remat: the full-residual backward
+            # OOMs 16 GB HBM at b32 (saved (B,H,T,T) scores x 24 layers)
             **cfg,
         )
         tokens = jnp.zeros((batch, 1 + AR_LONG), jnp.int32)
@@ -722,11 +725,16 @@ def _ar_train_bench(
             updates, opt_state = tx.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state, loss
 
-        flops = float(
-            step.lower(params, opt_state, tokens)
-            .compile()
-            .cost_analysis()["flops"]
-        )
+        compiled = None
+        for attempt in range(3):  # the tunnel's remote-compile service
+            try:  # occasionally drops a response mid-read (INTERNAL)
+                compiled = step.lower(params, opt_state, tokens).compile()
+                break
+            except Exception:
+                if attempt == 2:
+                    raise
+                time.sleep(5)
+        flops = float(compiled.cost_analysis()["flops"])
         params, opt_state, _ = step(params, opt_state, tokens)
         jax.block_until_ready(params)
         t0 = time.perf_counter()

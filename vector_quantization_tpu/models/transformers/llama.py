@@ -451,6 +451,10 @@ class LlamaTransformer(nn.Module):
     quantize_mode: str = "auto"  # "auto" | "pallas" | "xla" | "w8a8"
     fused_qkv: bool = False  # serve with merged qkv/gate+up projections
     paged_kernel: bool | None = None  # Pallas paged attention (None = auto)
+    remat: bool = False  # per-block rematerialisation in the training
+    # forward: without it the saved (B, H, T, T) score/prob residuals of
+    # all layers OOM a 16 GB chip at Llama-medium b32/257 (reference
+    # recipe is global batch 256); with it only block inputs are saved
 
     @nn.compact
     def __call__(
@@ -511,6 +515,11 @@ class LlamaTransformer(nn.Module):
             ks_list = list(cache.k_scale) if int8_cache else None
             vs_list = list(cache.v_scale) if int8_cache else None
         stacked = cache if paged else None
+        block_cls = LlamaBlock
+        if self.remat and cache is None:
+            # training forward only (decode's tiny per-token steps don't
+            # benefit and the cache threading would defeat the saving)
+            block_cls = nn.remat(LlamaBlock)
         for i in range(self.num_layers):
             if not paged and cache is not None:
                 # per-layer arrays (see KVCache docstring: a stacked carry
@@ -519,7 +528,7 @@ class LlamaTransformer(nn.Module):
                     stacked = (k_list[i], v_list[i], ks_list[i], vs_list[i])
                 else:
                     stacked = (k_list[i], v_list[i])
-            x, stacked_new = LlamaBlock(
+            x, stacked_new = block_cls(
                 num_heads=self.num_heads,
                 ffn_dim=self.ffn_dim,
                 dtype=self.dtype,
