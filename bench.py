@@ -660,12 +660,14 @@ def train_step_bench(overhead: float, on_tpu_: bool) -> dict:
             flops = float(
                 step.lower(state, batch_d).compile().cost_analysis()["flops"]
             )
-            state, _ = step(state, batch_d)  # lazy inits (k-means) fire here
-            jax.block_until_ready(state.params)
+            state, warm = step(state, batch_d)  # lazy inits (k-means) fire
+            # sync via a value fetch — block_until_ready is a no-op on the
+            # dev tunnel until the process's first device->host fetch
+            np.asarray(jax.tree_util.tree_leaves(warm)[0])
             t0 = time.perf_counter()
             for _ in range(steps):
                 state, metrics = step(state, batch_d)
-            jax.block_until_ready(state.params)
+            np.asarray(jax.tree_util.tree_leaves(metrics)[0])
             dt = (time.perf_counter() - t0 - overhead) / steps
             out[tag] = {
                 "img_per_s": round(batch / dt, 2),
@@ -726,21 +728,28 @@ def _ar_train_bench(
             return optax.apply_updates(params, updates), opt_state, loss
 
         compiled = None
-        for attempt in range(3):  # the tunnel's remote-compile service
-            try:  # occasionally drops a response mid-read (INTERNAL)
+        for attempt in range(4):  # the tunnel's remote-compile service
+            try:  # occasionally drops a response mid-read (INTERNAL) or
+                # its tpu_compile_helper subprocess dies (HTTP 500, seen
+                # once in the r4 capture); backoff gives it time to respawn
                 compiled = step.lower(params, opt_state, tokens).compile()
                 break
             except Exception:
-                if attempt == 2:
+                if attempt == 3:
                     raise
-                time.sleep(5)
+                time.sleep(5 * (attempt + 1))
         flops = float(compiled.cost_analysis()["flops"])
-        params, opt_state, _ = step(params, opt_state, tokens)
-        jax.block_until_ready(params)
+        params, opt_state, warm_loss = step(params, opt_state, tokens)
+        # sync via a VALUE fetch, not block_until_ready: through the dev
+        # tunnel block_until_ready is a no-op until the process's first
+        # device->host fetch (measured: a b64 Llama-medium train step
+        # "timed" at 3 ms/step standalone vs the real 494 ms), so a fetch
+        # both warms the path and guarantees the timed loop is synchronous
+        float(warm_loss)
         t0 = time.perf_counter()
         for _ in range(steps):
             params, opt_state, loss = step(params, opt_state, tokens)
-        jax.block_until_ready(params)
+        float(loss)
         dt = (time.perf_counter() - t0 - overhead) / steps
         return {
             "tokens_per_s": round(batch * (1 + AR_LONG) / dt, 1),
@@ -750,6 +759,15 @@ def _ar_train_bench(
             "mfu": round(flops / dt / peak_flops, 3),
         }
     except Exception as exc:
+        if batch > 32:
+            # any recorded number beats an error row: retry once at the
+            # smaller reference-fraction batch before giving up
+            out = _ar_train_bench(
+                overhead, peak_flops, 32, steps, full_size
+            )
+            if "error" not in out:
+                out["note"] = f"b{batch} failed ({type(exc).__name__}); b32 fallback"
+                return out
         return {"error": f"{type(exc).__name__}: {exc}"[:200]}
 
 
@@ -1008,6 +1026,12 @@ def main() -> None:
             quantize=False, batch=AR_SERVE_BATCH, overhead=overhead,
             params=fp_params, cache_dtype=jnp.int8,
         )
+        # the full stack: int8 weights AND int8 KV (VERDICT r3 weak #3 —
+        # the combination was measured nowhere while serving shipped it)
+        int8w_kv_64, _ = ar_tokens_per_sec(
+            quantize=True, batch=AR_SERVE_BATCH, overhead=overhead,
+            params=fp_params, cache_dtype=jnp.int8,
+        )
         # shipped kv_segment=32 → segment c attends 1+32(c+1) rows
         # (..., capped at 257): per-step average over 256 tokens ~145 rows
         avg_rows = sum(min(1 + 32 * (c + 1), 257) for c in range(8)) * 32 / 256
@@ -1041,6 +1065,8 @@ def main() -> None:
             "int8_speedup_b64": round(int8_64 / bf16_64, 2),
             "int8kv_tokens_per_s_b64": round(int8kv_64, 1),
             "int8kv_speedup_b64": round(int8kv_64 / bf16_64, 2),
+            "int8w_int8kv_tokens_per_s_b64": round(int8w_kv_64, 1),
+            "int8w_int8kv_speedup_b64": round(int8w_kv_64 / bf16_64, 2),
             "int8_kernel": int8_kernel_microbench(overhead),
             "sol_note": (
                 "decode SOL = HBM_BW / (weights + avg KV bytes per step) * "
@@ -1083,7 +1109,7 @@ def main() -> None:
             raws = {
                 "int8kv": int8kv_64,
                 "bf16": bf16_64,
-                "int8w_int8kv": int8kv_64,
+                "int8w_int8kv": int8w_kv_64,
             }
             best_mode = max(modes, key=lambda m: modes[m]["tokens_per_s"])
             # efficiency vs the repo's own raw decode rate in the SAME
@@ -1100,6 +1126,11 @@ def main() -> None:
                 "efficiency_vs_decode": round(
                     modes["int8kv"]["tokens_per_s"]
                     / (raws["int8kv"] / 2.0),
+                    3,
+                ),
+                "efficiency_vs_decode_best": round(
+                    modes[best_mode]["tokens_per_s"]
+                    / (raws[best_mode] / 2.0),
                     3,
                 ),
                 "note": (
@@ -1166,6 +1197,7 @@ def _compact(r: dict) -> dict:
             "int8_b64": ar.get("int8_tokens_per_s_b64"),
             "int8kv_b64": ar.get("int8kv_tokens_per_s_b64"),
             "int8kv_x": ar.get("int8kv_speedup_b64"),
+            "int8w_int8kv_b64": ar.get("int8w_int8kv_tokens_per_s_b64"),
             "int8_kernel_x": ik.get("int8_speedup"),
             "kernel_spread": ik.get("int8_spread"),
         }
@@ -1177,6 +1209,7 @@ def _compact(r: dict) -> dict:
             "mode": srv.get("best_mode"),
             "img_min": best.get("images_per_min"),
             "eff_vs_decode": srv.get("efficiency_vs_decode"),
+            "eff_vs_decode_best": srv.get("efficiency_vs_decode_best"),
             "overshoot": best.get("overshoot_frac"),
             "idle": best.get("idle_lane_frac"),
             "host": best.get("host_frac"),
