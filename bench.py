@@ -432,17 +432,22 @@ def int8_kernel_microbench(overhead: float) -> dict:
     return out
 
 
-def ar_step_bytes(int8: bool, batch: int, avg_kv_rows: float) -> float:
+def ar_step_bytes(
+    int8: bool, batch: int, avg_kv_rows: float, kv_int8: bool = False
+) -> float:
     """HBM bytes read per decode step (the decode SOL denominator):
     weights (shared across the batch) + the KV rows attention actually
-    reads (length-aware decode averages ~(5/8)·L_max with kv_segment=64)."""
+    reads (length-aware decode averages ~(5/8)·L_max with kv_segment=64).
+    kv_int8: 1-byte KV codes + the per-(position, head) f32 scale planes."""
     d, layers = AR_CFG["hidden_size"], AR_CFG["num_layers"]
     ffn = AR_CFG["ffn_dim"]
+    heads = AR_CFG["num_heads"]
     vocab = NUM_CATEGORIES + 1 + AR_CODEBOOK
     proj = layers * (4 * d * d + 3 * d * ffn)
     head = vocab * d
     per = 1 if int8 else 2
-    kv = layers * batch * avg_kv_rows * d * 2 * 2  # k+v, bf16
+    kv_row = d * (1 if kv_int8 else 2) + (heads * 4 if kv_int8 else 0)
+    kv = layers * batch * avg_kv_rows * kv_row * 2  # k+v
     return proj * per + head * (1 if int8 else 4) + kv
 
 
@@ -1006,6 +1011,11 @@ def main() -> None:
     }
     if on_tpu() and not args.skip_ar:
         result["lookup_kernel"] = lookup_kernel_tflops(overhead)
+        # LlamaGen-f8 microshape, where the Pallas kernel IS the shipped
+        # default (narrow D: the distance matmul can't saturate the MXU, so
+        # the fused tiling wins) — the r4 block-sweep result, captured in
+        # the driver artifact rather than an exp log
+        result["lookup_kernel_f8"] = lookup_kernel_tflops(overhead, d=64)
 
     if not args.skip_ar:
         bf16, fp_params = ar_tokens_per_sec(
@@ -1046,6 +1056,16 @@ def main() -> None:
             / ar_step_bytes(True, AR_SERVE_BATCH, avg_rows)
             * AR_SERVE_BATCH
         )
+        sol64_kv8 = (
+            hbm_bw
+            / ar_step_bytes(False, AR_SERVE_BATCH, avg_rows, kv_int8=True)
+            * AR_SERVE_BATCH
+        )
+        sol64_i8_kv8 = (
+            hbm_bw
+            / ar_step_bytes(True, AR_SERVE_BATCH, avg_rows, kv_int8=True)
+            * AR_SERVE_BATCH
+        )
         # r2's SOL formula assumed full-window KV reads every step; the
         # length-aware decode changed the denominator, so report both
         sol64_full = (
@@ -1072,7 +1092,10 @@ def main() -> None:
                 "decode SOL = HBM_BW / (weights + avg KV bytes per step) * "
                 f"batch; b8 bf16 {sol8:.0f} tok/s ({bf16 / sol8:.0%}), "
                 f"b64 bf16 {sol64:.0f} ({bf16_64 / sol64:.0%}), "
-                f"b64 int8 {sol64_i8:.0f} ({int8_64 / sol64_i8:.0%}). "
+                f"b64 int8 {sol64_i8:.0f} ({int8_64 / sol64_i8:.0%}), "
+                f"b64 int8kv {sol64_kv8:.0f} ({int8kv_64 / sol64_kv8:.0%}), "
+                f"b64 int8w+int8kv {sol64_i8_kv8:.0f} "
+                f"({int8w_kv_64 / sol64_i8_kv8:.0%}). "
                 "Against r2's full-window SOL formula "
                 f"({sol64_full:.0f} tok/s at b64) the bf16 decode is at "
                 f"{bf16_64 / sol64_full:.0%} (r2 measured 46%). "
@@ -1188,6 +1211,10 @@ def _compact(r: dict) -> dict:
     if lk:
         out["lookup"]["kernel_vs_xla"] = lk.get("speedup_vs_xla")
         out["lookup"]["kernel_spread"] = lk.get("pallas_spread")
+    lk8 = r.get("lookup_kernel_f8")
+    if lk8:
+        out["lookup"]["kernel_f8_vs_xla"] = lk8.get("speedup_vs_xla")
+        out["lookup"]["kernel_f8_spread"] = lk8.get("pallas_spread")
     ar = r.get("ar")
     if ar:
         ik = ar.get("int8_kernel") or {}

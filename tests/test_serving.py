@@ -621,3 +621,52 @@ class TestPagedAttentionKernel:
         np.testing.assert_allclose(
             np.asarray(cache_a.k), np.asarray(cache_b.k), atol=1e-6
         )
+
+
+class TestSyncChunking:
+    """Intra-sync chunked scans (r4): each host sync's decode is split
+    into ``sync_chunk``-step device scans with a deterministic dense-window
+    regrow between them (no host readback — every row advances exactly one
+    position per step). The RNG stream is split once per sync, so the
+    token stream must be IDENTICAL whatever sync_chunk divides the scan."""
+
+    def _server(self, sync_chunk, **kw):
+        tr = LlamaTransformer(**{**TINY, **kw.pop("tiny", {})})
+        params = _tiny_params(tr)
+        cb = TokenCodebook(start=11, size=16)
+        return ARServer(
+            tr, params, cb,
+            batch_slots=4,
+            sampler={"top_k": 5},
+            sync_chunk=sync_chunk,
+            **kw,
+        )
+
+    def test_chunked_matches_unchunked(self):
+        # sampled (top-k) stream: equality proves the RNG split-once design
+        a = self._server(None, image_tokens=8, steps_per_sync=6)
+        b = self._server(2, image_tokens=8, steps_per_sync=6)
+        for s in (a, b):
+            for c in (1, 4, 9):
+                s.submit(category=c)
+        da, db = dict(a.run_until_drained()), dict(b.run_until_drained())
+        assert da.keys() == db.keys()
+        for rid in da:
+            np.testing.assert_array_equal(da[rid], db[rid])
+
+    def test_chunked_regrow_across_buckets(self):
+        # long enough that the 64-bucket dense window regrows MID-sync:
+        # needed = 1 + 130 + 64 = 195, window path crosses 64/128/192
+        tiny = dict(max_length=200)
+        kw = dict(
+            image_tokens=130, steps_per_sync=65, tiny=tiny,
+        )
+        a = self._server(None, **dict(kw))
+        b = self._server(64, **dict(kw))
+        for s in (a, b):
+            for c in (2, 7):
+                s.submit(category=c)
+        da, db = dict(a.run_until_drained()), dict(b.run_until_drained())
+        assert da.keys() == db.keys()
+        for rid in da:
+            np.testing.assert_array_equal(da[rid], db[rid])

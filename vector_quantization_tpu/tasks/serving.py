@@ -75,6 +75,13 @@ class ARServer:
         cfg_alpha: float | None = None,
         uncond_token: int | None = None,
         steps_per_sync: int = 1,
+        sync_chunk: int | None = 64,  # split each sync's decode into
+        # device scans of this many steps, regrowing the dense window
+        # between them: positions advance deterministically inside a sync,
+        # so the regrow needs NO host round trip, and attention reads track
+        # the live window at chunk granularity instead of sync granularity
+        # (at steps_per_sync=128 / 257-token requests: avg read rows
+        # 192 -> 160). None = one scan per sync (the pre-r4 behavior).
         paged: bool = False,
         page_size: int = 64,  # measured optimum with the Pallas paged
         # attention kernel on v5e (3007 vs 2349 eff tok/s at ps=16: fewer,
@@ -129,6 +136,9 @@ class ARServer:
         self.cfg_alpha = cfg_alpha
         self.uncond_token = uncond_token
         self.steps_per_sync = steps_per_sync
+        self.sync_chunk = (
+            min(sync_chunk, steps_per_sync) if sync_chunk else steps_per_sync
+        )
         self.lanes = 2 if cfg_alpha is not None else 1
         self.num_requests_slots = batch_slots // self.lanes
         self.rng = jax.random.PRNGKey(seed)
@@ -267,8 +277,11 @@ class ARServer:
                 top_p=sampler_cfg.get("top_p", 1.0),
             )
 
-        def decode(params, cache, tokens, positions, key):
-            """k-step decode scan; returns per-step tokens (k, B)."""
+        def decode(params, cache, tokens, positions, keys):
+            """Decode scan over ``keys.shape[0]`` steps; returns per-step
+            tokens (k, B). The scan length is the keys array's leading dim
+            so one jitted function serves both full syncs and the shorter
+            ``sync_chunk`` scans (jit specializes per length)."""
 
             def body(carry, step_key):
                 cache, tokens, positions = carry
@@ -281,7 +294,6 @@ class ARServer:
                 tok = sample(step_key, logits[:, -1])
                 return (cache, tok, positions + 1), tok
 
-            keys = jax.random.split(key, steps_per_sync)
             (cache, tokens, positions), toks = jax.lax.scan(
                 body, (cache, tokens, positions), keys
             )
@@ -289,14 +301,15 @@ class ARServer:
 
         self._decode = jax.jit(decode, donate_argnums=(1,))
 
-        def decode_aligned(params, cache, tokens, base_pos, key):
+        def decode_aligned(params, cache, tokens, base_pos, keys):
             """Aligned fast path: every row decodes at the SAME position,
             so the scan uses the scalar-offset cache path (dus writes, no
             per-row scatter). XLA reads the attention window ~2x faster
             through this form than through the scatter-fed per-row form
             (profiled 0.21 vs 0.45 us/KV-row on v5e — the per-row scatter
             result defeats the convert+dot fusion). Numerically identical
-            to `decode` when positions are uniform."""
+            to `decode` when positions are uniform. Scan length =
+            ``keys.shape[0]`` (see ``decode``)."""
             cache = cache._replace(length=base_pos)
 
             def body(carry, step_key):
@@ -307,7 +320,6 @@ class ARServer:
                 tok = sample(step_key, logits[:, -1])
                 return (cache, tok), tok
 
-            keys = jax.random.split(key, steps_per_sync)
             (cache, tokens), toks = jax.lax.scan(
                 body, (cache, tokens), keys
             )
@@ -352,22 +364,13 @@ class ARServer:
                 page_table=self._put(self._page_table[:, :p_cap])
             )
         else:
-            if self._window is not None:
-                # dense window resize (see __init__): rows needed this sync
-                # = furthest active position + steps_per_sync
-                active_rows = np.repeat(self.active, self.lanes)
-                max_pos = int(self.positions[active_rows].max())
-                w = min(
-                    64 * -(-(max_pos + self.steps_per_sync) // 64),
-                    self._needed,
-                )
-                self._resize_window(w)
             cache_in = self.cache
         # aligned fast path: full waves (every active row at one position)
         # run the scalar-offset decode — ~2x faster attention reads than
         # the per-row scatter path (see decode_aligned)
         active_rows = np.repeat(self.active, self.lanes)
         base = self.positions[active_rows]
+        max_pos = int(self.positions[active_rows].max())
         aligned = (
             self._aligned_enabled
             and not self.paged
@@ -375,33 +378,62 @@ class ARServer:
             and bool((base == base[0]).all())
         )
         self.rng, key = jax.random.split(self.rng)
+        # one split for the whole sync: the sampled stream is identical
+        # whatever sync_chunk divides the scan into
+        k = self.steps_per_sync
+        keys = jax.random.split(key, k)
+        windowed = not self.paged and self._window is not None
+        chunk = self.sync_chunk if windowed else k
         t_dev0 = time.perf_counter()
-        if aligned:
-            toks, cache_out, new_tokens = self._decode_aligned(
-                self.params,
-                cache_in,
-                self._put(self.tokens),
-                self._put(np.int32(base[0])),
-                key,
-            )
-            new_positions = None
-        else:
-            toks, cache_out, new_tokens, new_positions = self._decode(
-                self.params,
-                cache_in,
-                self._put(self.tokens),
-                self._put(self.positions),
-                key,
-            )
+        tokens_dev = self._put(self.tokens)
+        positions_dev = self._put(self.positions)
+        toks_parts = []
+        done = 0
+        while done < k:
+            kk = min(chunk, k - done)
+            if windowed:
+                # dense window regrow (see __init__): rows needed by the
+                # end of this chunk = furthest position + done + kk. Every
+                # row advances exactly one position per step, so intra-sync
+                # regrowth needs no host readback — the resize and the next
+                # scan are dispatched async back-to-back.
+                w = min(
+                    64 * -(-(max_pos + done + kk) // 64),
+                    self._needed,
+                )
+                self._resize_window(w)
+                cache_in = self.cache
+            if aligned:
+                toks_c, cache_in, tokens_dev = self._decode_aligned(
+                    self.params,
+                    cache_in,
+                    tokens_dev,
+                    self._put(np.int32(int(base[0]) + done)),
+                    keys[done : done + kk],
+                )
+            else:
+                toks_c, cache_in, tokens_dev, positions_dev = self._decode(
+                    self.params,
+                    cache_in,
+                    tokens_dev,
+                    positions_dev,
+                    keys[done : done + kk],
+                )
+            if not self.paged:
+                self.cache = cache_in
+            toks_parts.append(toks_c)
+            done += kk
         if self.paged:
             # pool buffers are updated in place; restore the full table
-            self.cache = cache_out._replace(
+            self.cache = cache_in._replace(
                 page_table=self._put(self._page_table)
             )
-        else:
-            self.cache = cache_out
-        toks = np.asarray(toks)  # (k, B)
-        self.tokens = np.array(new_tokens)  # writable host copies
+        toks = np.asarray(
+            toks_parts[0]
+            if len(toks_parts) == 1
+            else jnp.concatenate(toks_parts, axis=0)
+        )  # (k, B)
+        self.tokens = np.array(tokens_dev)  # writable host copies
         if aligned:
             self.positions = np.full(
                 self.batch_slots,
@@ -409,7 +441,7 @@ class ARServer:
                 np.int32,
             )
         else:
-            self.positions = np.array(new_positions)
+            self.positions = np.array(positions_dev)
         t_dev1 = time.perf_counter()
 
         k = self.steps_per_sync
