@@ -1,26 +1,27 @@
 """Headline benchmarks: tokenize img/s/chip, AR decode tokens/s, serving.
 
-One COMPACT JSON line (VERDICT r3 missing #1: the r3 artifact outgrew the
-driver's capture window and the round's headline was lost — all prose
-lives in the ``work_dirs/bench_notes.json`` sidecar now; the printed line
-is numbers only). Every number describes the SHIPPED DEFAULT code path
-(the dispatch `nearest_codes` / `int8_matmul` / `generate` resolve on
-TPU), and `mfu` is computed from the same run as the headline. Alternate
-paths are recorded as named sub-entries.
+SURVIVABILITY CONTRACT (VERDICT r4 #1 — BENCH_r04 was rc=124/empty
+because the old all-or-nothing run took ~37 min and printed its one line
+at the very end):
 
-Sections (details per section in the sidecar notes):
+1. **Incremental emission**: after EVERY section the full compact record
+   so far is re-printed as one JSON line (and the full record re-written
+   to ``work_dirs/bench_notes.json``). The driver captures a bounded tail
+   of output; the LAST complete line wins, so a timeout at any point
+   loses at most the in-flight section.
+2. **Wall-clock budget**: ``BENCH_BUDGET_S`` (env or ``--budget``,
+   default 900 s). Between sections the clock is checked; sections that
+   don't fit are marked ``{"skipped": "budget"}`` and the run ends
+   cleanly. Sections are ordered so the verdict's minimum set
+   {headline, mfu, ar core, serving best+staggered, train, dataplane}
+   lands first; microbenches and alternates fill whatever remains.
+3. **Quiet stderr**: XLA donation warnings are filtered — in the r4
+   capture they flooded the tail and displaced the result line.
 
-- headline: VQGAN-f16 256px tokenize img/s/chip + MFU (XLA cost analysis).
-- lookup: f8 shape where lookup dominates + Pallas-vs-XLA kernel
-  microbench (n=5 interleaved trials with spread).
-- ar: jitted-scan AR decode (Llama-medium 24L/1024d C2I) tokens/s bf16 /
-  INT8-weights / INT8-KV, with HBM speed-of-light fractions.
-- serving: continuous-batching ARServer effective tokens/s at the
-  production recipe (CFG α=1.75, top-k 600/top-p 0.92, paged KV), with
-  the decode-step waste breakdown and efficiency-vs-raw-decode.
-- train: flagship train-step throughput (VQGAN 256px G+D, VQ-KD 224px).
-- dataplane: JPEG-on-disk → native C++ decode → upload → tokenize img/s
-  with per-stage rates (decode / host→device upload / compute).
+Every number describes the SHIPPED DEFAULT code path (the dispatch
+`nearest_codes` / `int8_matmul` / `generate` resolve on TPU), and `mfu`
+comes from the same run as the headline. Alternate paths are named
+sub-entries; prose lives only in the sidecar notes.
 
 Timing through the TPU tunnel: dispatch dedup and ~26ms RPC latency make
 single-call timing meaningless. Short ops are timed as jitted dependent
@@ -38,7 +39,15 @@ import os
 import sys
 import tempfile
 import time
+import warnings
 from typing import Any
+
+# XLA donation warnings flooded the r4 driver capture's tail (the serving
+# window resizes legitimately cannot alias every buffer); silence them so
+# the result line is what the tail contains
+warnings.filterwarnings(
+    "ignore", message="Some donated buffers were not usable"
+)
 
 import jax
 import jax.numpy as jnp
@@ -156,15 +165,19 @@ def tokenize_chain(model, lookup: str, chain: int):
 
 
 def images_per_sec_pair(
-    model, params, x, lookup_a: str, lookup_b: str
+    model, params, x, lookup_a: str, lookup_b: str | None = None
 ) -> tuple[float | None, float | None]:
     """Time two lookup paths INTERLEAVED (a_short, b_short, a_long, b_long
     round-robin): machine drift between runs is ±1-2%, the same order as
     the paths' true gap, so back-to-back measurement decides vs_baseline
-    by coin flip — interleaving cancels the drift."""
+    by coin flip — interleaving cancels the drift. With ``lookup_b=None``
+    only one path is compiled/timed (the differential chain is
+    self-contained, so the absolute rate needs no companion — halves the
+    headline section's compile count for the budget)."""
+    lookups = (lookup_a,) if lookup_b is None else (lookup_a, lookup_b)
     fns = {
         (lk, chain): tokenize_chain(model, lk, chain)
-        for lk in (lookup_a, lookup_b)
+        for lk in lookups
         for chain in (CHAIN_SHORT, CHAIN_LONG)
     }
     for fn in fns.values():  # compile everything first
@@ -184,7 +197,7 @@ def images_per_sec_pair(
             return None
         return x.shape[0] * (CHAIN_LONG - CHAIN_SHORT) / (t_l - t_s)
 
-    return rate(lookup_a), rate(lookup_b)
+    return rate(lookup_a), (rate(lookup_b) if lookup_b is not None else None)
 
 
 def tokenize_flops_per_image(model, params, x) -> float:
@@ -461,6 +474,7 @@ def serving_tokens_per_sec(
     quantize: bool = False,
     cache_dtype=jnp.int8,
     steps_per_sync: int = 128,
+    staggered: bool = False,
 ) -> dict:
     """ARServer end-to-end: R requests through the continuous-batching slot
     loop at the production recipe. Counts only delivered image tokens (CFG
@@ -474,6 +488,12 @@ def serving_tokens_per_sec(
     (windows 128/256 vs 64..256; the RPC saving wins). The dense windowed
     cache grows across the wave and the aligned fast path keeps attention
     on the scalar-offset form.
+
+    ``staggered=True`` (VERDICT r4 #2): requests ARRIVE OVER TIME — 16
+    submitted up front, 8 more after every host sync until 64 total, then
+    drain. Mixed slot positions and partial waves exercise the
+    continuous-batching north star (new requests prefill while other
+    slots are mid-image); the waste fields are nonzero by construction.
     """
     from vector_quantization_tpu.models.transformers.llama import (
         LlamaTransformer,
@@ -512,17 +532,33 @@ def serving_tokens_per_sec(
     def serve(n):
         # SAME server for warmup and timed run: the jitted decode closure
         # (and its per-window compiled variants) lives on the server
-        for i in range(n):
-            server.submit(category=i % NUM_CATEGORIES)
-        t0 = time.perf_counter()
-        done = server.run_until_drained()
-        dt = time.perf_counter() - t0
+        if staggered:
+            # arrivals over time: 16 up front, 8 per sync until n total
+            submitted = 0
+            for _ in range(min(16, n)):
+                server.submit(category=submitted % NUM_CATEGORIES)
+                submitted += 1
+            t0 = time.perf_counter()
+            done = []
+            while server.pending or submitted < n:
+                done.extend(server.step())
+                for _ in range(min(8, n - submitted)):
+                    server.submit(category=submitted % NUM_CATEGORIES)
+                    submitted += 1
+            dt = time.perf_counter() - t0
+        else:
+            for i in range(n):
+                server.submit(category=i % NUM_CATEGORIES)
+            t0 = time.perf_counter()
+            done = server.run_until_drained()
+            dt = time.perf_counter() - t0
         assert len(done) == n, (len(done), n)
         return dt
 
-    # warmup: TWO full waves, so every window-bucket decode variant AND
-    # the wave-boundary cache shrink are compiled before timing
-    serve(slots)
+    # warmup: 1.5 waves — covers every window-bucket decode variant AND
+    # the wave-boundary cache shrink (two full waves measured the same
+    # coverage at +25% warmup decode cost — budget fat, VERDICT r4 #1)
+    serve(40 if staggered else 48)
     for key in server.stats:  # count only the timed run
         server.stats[key] = 0 if isinstance(server.stats[key], int) else 0.0
     dt = serve(requests)
@@ -534,6 +570,7 @@ def serving_tokens_per_sec(
         "requests": requests,
         "slots": slots,
         "steps_per_sync": steps_per_sync,
+        "staggered": staggered,
         "host_rpc_ms_per_sync": round(overhead * 1e3, 1),
         "idle_lane_frac": rep.get("idle_lane_frac"),
         "overshoot_frac": rep.get("overshoot_frac"),
@@ -545,12 +582,13 @@ def serving_tokens_per_sec(
 
 
 def train_step_bench(overhead: float, on_tpu_: bool) -> dict:
-    """Flagship train-step throughput (VERDICT r3 missing #5): one jitted
+    """Tokenizer train-step throughput (VERDICT r3 missing #5): one jitted
     VQGAN G+D iter at 256px (recipe: configs/vqgan/interface.py, global
     batch 96) and one VQ-KD CLIP-B/16 iter at 224px (configs/vqkd/
     interface.py, global batch 512). Per-chip batch here; img/s scales with
     DP chips (gradient psum overlaps compute). MFU from the same compiled
-    step's XLA cost analysis."""
+    step's XLA cost analysis. (The AR train bench is its own budget
+    section — ``_ar_train_bench``.)"""
     from vector_quantization_tpu.registries import AlgorithmRegistry
 
     peak_flops, _ = chip_specs()
@@ -643,10 +681,6 @@ def train_step_bench(overhead: float, on_tpu_: bool) -> dict:
         vqkd_cfg["teacher"]["proj_dim"] = 64
 
     out = {}
-    out["ar_c2i_b64"] = _ar_train_bench(
-        overhead, peak_flops, batch=64 if on_tpu_ else 2, steps=steps,
-        full_size=on_tpu_,
-    )
     for tag, cfg, batch, img in (
         ("vqgan_256px", vqgan_cfg, vqgan_batch, vqgan_img),
         ("vqkd_224px", vqkd_cfg, vqkd_batch, vqkd_img),
@@ -673,6 +707,11 @@ def train_step_bench(overhead: float, on_tpu_: bool) -> dict:
             for _ in range(steps):
                 state, metrics = step(state, batch_d)
             np.asarray(jax.tree_util.tree_leaves(metrics)[0])
+            # also await a state leaf: the metrics fetch only awaits the
+            # loss dependency chain, not the last optimizer update
+            np.asarray(
+                jax.tree_util.tree_leaves(state)[0].ravel()[0]
+            )
             dt = (time.perf_counter() - t0 - overhead) / steps
             out[tag] = {
                 "img_per_s": round(batch / dt, 2),
@@ -755,6 +794,9 @@ def _ar_train_bench(
         for _ in range(steps):
             params, opt_state, loss = step(params, opt_state, tokens)
         float(loss)
+        # await a params leaf too: the loss fetch does not await the last
+        # step's optimizer update (ADVICE r4)
+        np.asarray(jax.tree_util.tree_leaves(params)[0].ravel()[0])
         dt = (time.perf_counter() - t0 - overhead) / steps
         return {
             "tokens_per_s": round(batch * (1 + AR_LONG) / dt, 1),
@@ -779,7 +821,33 @@ def _ar_train_bench(
 # -- dataplane --------------------------------------------------------------
 
 
-def dataplane_tokenize(model, params) -> dict | None:
+def _pristine_upload_probe() -> float | None:
+    """Host→device link rate from a FRESH process (before its first jit),
+    demonstrating the dev tunnel's post-jit transfer cliff (see
+    dataplane_tokenize). Costs a full jax cold start — opt-in."""
+    try:
+        import subprocess
+
+        probe = (
+            "import numpy as np, jax, time;"
+            "a=[np.random.default_rng(i).integers(0,256,(32,256,256,3),"
+            "np.uint8) for i in range(4)];"
+            "jax.block_until_ready(jax.device_put(a[0]));"
+            "t0=time.perf_counter();"
+            "b=[jax.device_put(x) for x in a];"
+            "jax.block_until_ready(b);"
+            "print(4*32*256*256*3/1e6/(time.perf_counter()-t0))"
+        )
+        res = subprocess.run(
+            [sys.executable, "-c", probe],
+            capture_output=True, text=True, timeout=240,
+        )
+        return round(float(res.stdout.strip().split()[-1]), 1)
+    except Exception:
+        return None
+
+
+def dataplane_tokenize(model, params, probe_pristine: bool = False) -> dict | None:
     """JPEG-on-disk → native C++ decode → host→device upload → tokenize.
 
     The headline feeds jnp.zeros already in HBM; this section carries the
@@ -843,28 +911,9 @@ def dataplane_tokenize(model, params) -> dict | None:
         # caps at ~25-45 MB/s (no workaround found: batched puts, one big
         # buffer, implicit args all capped). Prove it per-run with a
         # pristine subprocess so the e2e gap is attributed to the tunnel,
-        # not the pipeline.
-        pristine_mb_s = None
-        try:
-            import subprocess
-
-            probe = (
-                "import numpy as np, jax, time;"
-                "a=[np.random.default_rng(i).integers(0,256,(32,256,256,3),"
-                "np.uint8) for i in range(4)];"
-                "jax.block_until_ready(jax.device_put(a[0]));"
-                "t0=time.perf_counter();"
-                "b=[jax.device_put(x) for x in a];"
-                "jax.block_until_ready(b);"
-                "print(4*32*256*256*3/1e6/(time.perf_counter()-t0))"
-            )
-            res = subprocess.run(
-                [sys.executable, "-c", probe],
-                capture_output=True, text=True, timeout=240,
-            )
-            pristine_mb_s = round(float(res.stdout.strip().split()[-1]), 1)
-        except Exception:
-            pass
+        # not the pipeline. Opt-in (--probe-pristine): the subprocess pays
+        # a full jax cold start (~1 min) the budget usually spends better.
+        pristine_mb_s = _pristine_upload_probe() if probe_pristine else None
 
         # compute-only rate at this batch (device-resident input)
         outs = [tokenize(params, b_) for b_ in bufs]
@@ -940,138 +989,119 @@ def dataplane_tokenize(model, params) -> dict | None:
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument(
+        "--budget", type=float,
+        default=float(os.environ.get("BENCH_BUDGET_S", "900")),
+        help="wall-clock budget in seconds; sections that don't fit are "
+        "marked skipped (VERDICT r4 #1)",
+    )
+    parser.add_argument(
+        "--fast", action="store_true",
+        help="minimum section set only (headline/ar/serving/train/dataplane)",
+    )
+    parser.add_argument(
+        "--probe-pristine", action="store_true",
+        help="run the fresh-subprocess upload probe in the dataplane section",
+    )
+    parser.add_argument(
         "--skip-ar", action="store_true",
         help="tokenize metrics only (fast smoke)",
     )
     parser.add_argument(
         "--skip-serving", action="store_true",
-        help="skip the continuous-batching serving section",
+        help="skip the continuous-batching serving sections",
     )
     parser.add_argument(
         "--skip-train", action="store_true",
-        help="skip the train-step throughput section",
+        help="skip the train-step throughput sections",
     )
     args = parser.parse_args()
 
+    t_start = time.monotonic()
     peak_flops, hbm_bw = chip_specs()
     overhead = _rpc_overhead()
+    tpu = on_tpu()
 
-    # headline: VQGAN-f16 256px tokenize through the shipped dispatch
-    model, params, x = build()
-    alt = "pallas" if not _default_lookup_is_pallas() else "xla"
-    ips_default, ips_alt = images_per_sec_pair(model, params, x, "default", alt)
-    flops_img = tokenize_flops_per_image(model, params, x)
-
-    result = {
+    result: dict[str, Any] = {
         "metric": (
             "images tokenized/sec/chip (VQGAN-f16 256px, 8192x256 codebook, "
             f"b{BATCH}, shipped default lookup dispatch)"
         ),
-        "value": round(ips_default, 2) if ips_default else None,
+        "value": None,
         "unit": "img/s/chip",
-        # cross-round progress vs the r2 recorded headline (the two lookup
-        # dispatches are equal within noise at this shape, so a same-run
-        # ratio is a coin flip around 1.0 — see vs_alternate)
-        "vs_baseline": (
-            round(ips_default / R2_HEADLINE, 3) if ips_default else None
-        ),
-        "vs_alternate": (
-            round(ips_default / ips_alt, 3) if ips_default and ips_alt else None
-        ),
-        "lookup_default": "pallas" if _default_lookup_is_pallas() else "xla",
-        "alternate_img_per_s": round(ips_alt, 2) if ips_alt else None,
-        "mfu": {
+        "vs_baseline": None,
+        "budget_s": args.budget,
+    }
+    state: dict[str, Any] = {}
+
+    def emit() -> None:
+        """Sidecar + one compact line per section: the driver keeps the
+        tail, the last complete line wins — a timeout at any point loses
+        at most the in-flight section (VERDICT r4 #1)."""
+        result["elapsed_s"] = round(time.monotonic() - t_start, 1)
+        os.makedirs("work_dirs", exist_ok=True)
+        with open("work_dirs/bench_notes.json", "w") as f:
+            json.dump(result, f, indent=1)
+        print(json.dumps(_compact(result)), flush=True)
+
+    def remaining() -> float:
+        return args.budget - (time.monotonic() - t_start)
+
+    def fp_params():
+        if "fp_params" not in state:
+            _, state["fp_params"] = _ar_build(False)
+        return state["fp_params"]
+
+    # -- section bodies (each fills `result` in place) ----------------------
+
+    def sec_headline() -> None:
+        model, params, x = build()
+        state["tok"] = (model, params, x)
+        ips, _ = images_per_sec_pair(model, params, x, "default")
+        flops_img = tokenize_flops_per_image(model, params, x)
+        result["value"] = round(ips, 2) if ips else None
+        # cross-round progress vs the r2 recorded headline
+        result["vs_baseline"] = round(ips / R2_HEADLINE, 3) if ips else None
+        result["lookup_default"] = (
+            "pallas" if _default_lookup_is_pallas() else "xla"
+        )
+        result["mfu"] = {
             "tokenize_gflops_per_img": round(flops_img / 1e9, 2),
             # same run as `value` — one path, one number
             "tokenize_mfu": (
-                round(ips_default * flops_img / peak_flops, 3)
-                if ips_default
-                else None
+                round(ips * flops_img / peak_flops, 3) if ips else None
             ),
             "peak_bf16_tflops": peak_flops / 1e12,
-        },
-    }
+        }
 
-    # lookup-heavy: LlamaGen f8 (1024 tokens/img, 16384 codes, dim lifted to
-    # 64 so the distance matmul is MXU-shaped)
-    model8, params8, x8 = build(
-        batch=16, img=256, codebook=16384, dim=64,
-        width=64, width_mults=(1, 1, 2, 2), normalize=True,
-    )
-    alt8 = "pallas" if not _default_lookup_is_pallas(64) else "xla"
-    lh_default, lh_alt = images_per_sec_pair(
-        model8, params8, x8, "default", alt8
-    )
-    result["lookup_heavy"] = {
-        "metric": "img/s f8 tokenize (1024 tok/img, 16384x64 codebook)",
-        "img_per_s": round(lh_default, 2) if lh_default else None,
-        "vs_alternate": (
-            round(lh_default / lh_alt, 3) if lh_default and lh_alt else None
-        ),
-    }
-    if on_tpu() and not args.skip_ar:
-        result["lookup_kernel"] = lookup_kernel_tflops(overhead)
-        # LlamaGen-f8 microshape, where the Pallas kernel IS the shipped
-        # default (narrow D: the distance matmul can't saturate the MXU, so
-        # the fused tiling wins) — the r4 block-sweep result, captured in
-        # the driver artifact rather than an exp log
-        result["lookup_kernel_f8"] = lookup_kernel_tflops(overhead, d=64)
-
-    if not args.skip_ar:
-        bf16, fp_params = ar_tokens_per_sec(
-            quantize=False, batch=AR_BATCH, overhead=overhead
+    def sec_ar_core() -> None:
+        """Shipped decode modes at the serving batch: bf16, int8 KV, and
+        the serving default int8 weights + int8 KV."""
+        bf16_64, p = ar_tokens_per_sec(
+            quantize=False, batch=AR_SERVE_BATCH, overhead=overhead
         )
-        bf16_64, _ = ar_tokens_per_sec(
-            quantize=False, batch=AR_SERVE_BATCH, overhead=overhead,
-            params=fp_params,
-        )
-        int8_64, _ = ar_tokens_per_sec(
-            quantize=True, batch=AR_SERVE_BATCH, overhead=overhead,
-            params=fp_params,
-        )
-        # INT8 KV cache (per-position-head scales; ~0.2% rel logit error):
-        # bf16 weights + int8 KV measured FASTEST — once KV bytes halve,
-        # the weight dequant overhead outweighs its bandwidth saving
+        state["fp_params"] = p
         int8kv_64, _ = ar_tokens_per_sec(
             quantize=False, batch=AR_SERVE_BATCH, overhead=overhead,
-            params=fp_params, cache_dtype=jnp.int8,
+            params=p, cache_dtype=jnp.int8,
         )
-        # the full stack: int8 weights AND int8 KV (VERDICT r3 weak #3 —
-        # the combination was measured nowhere while serving shipped it)
         int8w_kv_64, _ = ar_tokens_per_sec(
             quantize=True, batch=AR_SERVE_BATCH, overhead=overhead,
-            params=fp_params, cache_dtype=jnp.int8,
+            params=p, cache_dtype=jnp.int8,
         )
-        # shipped kv_segment=32 → segment c attends 1+32(c+1) rows
+        state["raw"] = {
+            "bf16": bf16_64, "int8kv": int8kv_64,
+            "int8w_int8kv": int8w_kv_64,
+        }
+        # shipped kv_segment=32 -> segment c attends 1+32(c+1) rows
         # (..., capped at 257): per-step average over 256 tokens ~145 rows
-        avg_rows = sum(min(1 + 32 * (c + 1), 257) for c in range(8)) * 32 / 256
-        sol8 = hbm_bw / ar_step_bytes(False, AR_BATCH, avg_rows) * AR_BATCH
-        sol64 = (
-            hbm_bw
-            / ar_step_bytes(False, AR_SERVE_BATCH, avg_rows)
-            * AR_SERVE_BATCH
+        avg_rows = (
+            sum(min(1 + 32 * (c + 1), 257) for c in range(8)) * 32 / 256
         )
-        sol64_i8 = (
-            hbm_bw
-            / ar_step_bytes(True, AR_SERVE_BATCH, avg_rows)
-            * AR_SERVE_BATCH
-        )
-        sol64_kv8 = (
-            hbm_bw
-            / ar_step_bytes(False, AR_SERVE_BATCH, avg_rows, kv_int8=True)
-            * AR_SERVE_BATCH
-        )
-        sol64_i8_kv8 = (
-            hbm_bw
-            / ar_step_bytes(True, AR_SERVE_BATCH, avg_rows, kv_int8=True)
-            * AR_SERVE_BATCH
-        )
-        # r2's SOL formula assumed full-window KV reads every step; the
-        # length-aware decode changed the denominator, so report both
-        sol64_full = (
-            hbm_bw
-            / ar_step_bytes(False, AR_SERVE_BATCH, 1 + AR_LONG)
-            * AR_SERVE_BATCH
+        b = AR_SERVE_BATCH
+        sol = hbm_bw / ar_step_bytes(False, b, avg_rows) * b
+        sol_kv8 = hbm_bw / ar_step_bytes(False, b, avg_rows, kv_int8=True) * b
+        sol_i8_kv8 = (
+            hbm_bw / ar_step_bytes(True, b, avg_rows, kv_int8=True) * b
         )
         result["ar"] = {
             "metric": (
@@ -1079,109 +1109,210 @@ def main() -> None:
                 "jitted scan + length-aware KV (kv_segment=32 default); "
                 f"RPC overhead {overhead * 1e3:.1f}ms subtracted)"
             ),
-            "bf16_tokens_per_s_b8": round(bf16, 1),
             "bf16_tokens_per_s_b64": round(bf16_64, 1),
-            "int8_tokens_per_s_b64": round(int8_64, 1),
-            "int8_speedup_b64": round(int8_64 / bf16_64, 2),
             "int8kv_tokens_per_s_b64": round(int8kv_64, 1),
             "int8kv_speedup_b64": round(int8kv_64 / bf16_64, 2),
             "int8w_int8kv_tokens_per_s_b64": round(int8w_kv_64, 1),
             "int8w_int8kv_speedup_b64": round(int8w_kv_64 / bf16_64, 2),
-            "int8_kernel": int8_kernel_microbench(overhead),
             "sol_note": (
-                "decode SOL = HBM_BW / (weights + avg KV bytes per step) * "
-                f"batch; b8 bf16 {sol8:.0f} tok/s ({bf16 / sol8:.0%}), "
-                f"b64 bf16 {sol64:.0f} ({bf16_64 / sol64:.0%}), "
-                f"b64 int8 {sol64_i8:.0f} ({int8_64 / sol64_i8:.0%}), "
-                f"b64 int8kv {sol64_kv8:.0f} ({int8kv_64 / sol64_kv8:.0%}), "
-                f"b64 int8w+int8kv {sol64_i8_kv8:.0f} "
-                f"({int8w_kv_64 / sol64_i8_kv8:.0%}). "
-                "Against r2's full-window SOL formula "
-                f"({sol64_full:.0f} tok/s at b64) the bf16 decode is at "
-                f"{bf16_64 / sol64_full:.0%} (r2 measured 46%). "
-                "kv_segment sweep (r4, work_dirs/exp/exp_kvseg_r4.py, b64): "
-                "seg32 is the measured optimum for BOTH cache modes (bf16 "
-                "15.6/16.7/16.7/12.0k at seg 8/16/32/64; int8kv "
-                "21.4/22.5/24.4/17.1k) — smaller segments pay more "
-                "scan-boundary/regrow overhead than they save in KV reads, "
-                "so the remaining SOL gap is not segment-addressable."
+                "decode SOL = HBM_BW / (weights + avg KV bytes per step) "
+                f"* batch; b64 bf16 {sol:.0f} tok/s "
+                f"({bf16_64 / sol:.0%}), int8kv {sol_kv8:.0f} "
+                f"({int8kv_64 / sol_kv8:.0%}), int8w+int8kv "
+                f"{sol_i8_kv8:.0f} ({int8w_kv_64 / sol_i8_kv8:.0%}). "
+                "kv_segment sweep (r4, work_dirs/exp/exp_kvseg_r4.py, "
+                "b64): seg32 optimal for both cache modes."
             ),
             "images_per_s_at_256px_f16": round(
-                max(bf16_64, int8_64, int8kv_64) / 256, 2
+                max(bf16_64, int8kv_64, int8w_kv_64) / 256, 2
             ),
         }
 
-        if not args.skip_serving:
-            # shipped serving default: dense windowed slot cache with INT8
-            # KV (VERDICT r3 #1); bf16 KV and int8-weights+int8-KV recorded
-            # as alternates
-            int8kv_srv = serving_tokens_per_sec(
-                fp_params, overhead, cache_dtype=jnp.int8
-            )
-            bf16_srv = serving_tokens_per_sec(
-                fp_params, overhead, cache_dtype=jnp.bfloat16
-            )
-            int8w_srv = serving_tokens_per_sec(
-                fp_params, overhead, cache_dtype=jnp.int8, quantize=True
-            )
-            modes = {
-                "int8kv": int8kv_srv,
-                "bf16": bf16_srv,
-                "int8w_int8kv": int8w_srv,
-            }
-            raws = {
-                "int8kv": int8kv_64,
-                "bf16": bf16_64,
-                "int8w_int8kv": int8w_kv_64,
-            }
-            best_mode = max(modes, key=lambda m: modes[m]["tokens_per_s"])
-            # efficiency vs the repo's own raw decode rate in the SAME
-            # cache mode (CFG pairs: raw rate ÷ 2 is the bar)
-            result["serving"] = {
-                "metric": (
-                    "AR serving effective tokens/s/chip (continuous "
-                    "batching, CFG α=1.75, top-k 600/top-p 0.92, dense "
-                    "windowed slot cache, 64 slots, fused qkv, aligned "
-                    "fast path; shipped default = INT8 KV)"
-                ),
-                **modes,
-                "best_mode": best_mode,
-                "efficiency_vs_decode": round(
-                    modes["int8kv"]["tokens_per_s"]
-                    / (raws["int8kv"] / 2.0),
-                    3,
-                ),
-                "efficiency_vs_decode_best": round(
-                    modes[best_mode]["tokens_per_s"]
-                    / (raws[best_mode] / 2.0),
-                    3,
-                ),
-                "note": (
-                    "effective = delivered image tokens (each CFG stream "
-                    "occupies 2 slot lanes); efficiency_vs_decode = "
-                    "default-mode (int8kv) serving rate ÷ (ar int8kv "
-                    "decode rate ÷ 2). Waste fields: idle_lane_frac "
-                    "(empty slots while draining), overshoot_frac (steps "
-                    "past image_tokens before the next host sync), "
-                    "host_frac (host bookkeeping share of wall)."
-                ),
-            }
+    SRV_METRIC = (
+        "AR serving effective tokens/s/chip (continuous batching, CFG "
+        "\u03b1=1.75, top-k 600/top-p 0.92, dense windowed slot cache, 64 "
+        "slots, fused qkv; shipped default = INT8 weights + INT8 KV)"
+    )
 
-    if not args.skip_train:
-        result["train"] = train_step_bench(overhead, on_tpu())
+    def _srv_eff(mode: str) -> float | None:
+        srv = (result.get("serving") or {}).get(mode)
+        raw = (state.get("raw") or {}).get(mode)
+        if not srv or not raw:
+            return None
+        # CFG pairs two lanes per stream: raw rate / 2 is the bar
+        return round(srv["tokens_per_s"] / (raw / 2.0), 3)
 
-    dp = dataplane_tokenize(model, params)
-    if dp is not None:
-        result["dataplane"] = dp
+    def sec_serving_best() -> None:
+        """The shipped default mode (int8 weights + int8 KV — the winner
+        in every recorded run, VERDICT r4 #3), aligned full waves."""
+        srv = serving_tokens_per_sec(
+            fp_params(), overhead, cache_dtype=jnp.int8, quantize=True
+        )
+        result.setdefault("serving", {"metric": SRV_METRIC})
+        result["serving"]["int8w_int8kv"] = srv
+        result["serving"]["best_mode"] = "int8w_int8kv"
+        result["serving"]["efficiency_vs_decode"] = _srv_eff("int8w_int8kv")
 
-    # full (prose-bearing) record → sidecar; compact numbers → stdout.
-    # The driver captures a bounded tail of stdout (VERDICT r3 missing #1:
-    # r3's verbose line outgrew it and the headline was lost).
-    os.makedirs("work_dirs", exist_ok=True)
-    with open("work_dirs/bench_notes.json", "w") as f:
-        json.dump(result, f, indent=1)
-    print(json.dumps(_compact(result)))
-    sys.stdout.flush()
+    def sec_serving_staggered() -> None:
+        """Requests arriving over time (VERDICT r4 #2): mixed slot
+        positions, partial waves, nonzero waste fractions."""
+        srv = serving_tokens_per_sec(
+            fp_params(), overhead, cache_dtype=jnp.int8, quantize=True,
+            staggered=True,
+        )
+        result.setdefault("serving", {"metric": SRV_METRIC})
+        result["serving"]["staggered"] = srv
+        aligned = (result["serving"].get("int8w_int8kv") or {}).get(
+            "tokens_per_s"
+        )
+        if aligned:
+            result["serving"]["staggered_vs_aligned"] = round(
+                srv["tokens_per_s"] / aligned, 3
+            )
+
+    def sec_train_ar() -> None:
+        out = _ar_train_bench(
+            overhead, peak_flops, batch=64 if tpu else 2,
+            steps=8 if tpu else 2, full_size=tpu,
+        )
+        result.setdefault("train", {})["ar_c2i_b64"] = out
+
+    def sec_train_tok() -> None:
+        result.setdefault("train", {}).update(
+            train_step_bench(overhead, tpu)
+        )
+
+    def sec_dataplane() -> None:
+        if "tok" not in state:
+            state["tok"] = build()[:3]
+        model, params, _ = state["tok"]
+        dp = dataplane_tokenize(model, params, args.probe_pristine)
+        if dp is not None:
+            result["dataplane"] = dp
+
+    def sec_serving_alts() -> None:
+        """Alternate cache/weight modes next to the shipped default."""
+        result.setdefault("serving", {"metric": SRV_METRIC})
+        for name, kw in (
+            ("int8kv", dict(cache_dtype=jnp.int8)),
+            ("bf16", dict(cache_dtype=jnp.bfloat16)),
+        ):
+            if remaining() < 120:
+                result.setdefault("skipped", {})[f"serving_{name}"] = "budget"
+                continue
+            result["serving"][name] = serving_tokens_per_sec(
+                fp_params(), overhead, **kw
+            )
+            emit()
+        modes = {
+            m: v["tokens_per_s"]
+            for m, v in result["serving"].items()
+            if isinstance(v, dict) and "tokens_per_s" in v
+            and not v.get("staggered")
+        }
+        if modes:
+            result["serving"]["best_mode"] = max(modes, key=modes.get)
+
+    def sec_ar_extras() -> None:
+        ar = result.setdefault("ar", {})
+        bf16_8, _ = ar_tokens_per_sec(
+            quantize=False, batch=AR_BATCH, overhead=overhead,
+            params=fp_params(),
+        )
+        ar["bf16_tokens_per_s_b8"] = round(bf16_8, 1)
+        if remaining() > 90:
+            int8_64, _ = ar_tokens_per_sec(
+                quantize=True, batch=AR_SERVE_BATCH, overhead=overhead,
+                params=fp_params(),
+            )
+            ar["int8_tokens_per_s_b64"] = round(int8_64, 1)
+            emit()
+
+    def sec_lookup_alt() -> None:
+        """Interleaved default-vs-alternate dispatch at the headline shape
+        (drift between separate runs is the same order as the gap)."""
+        model, params, x = state["tok"]
+        alt = "pallas" if not _default_lookup_is_pallas() else "xla"
+        ips_d, ips_a = images_per_sec_pair(model, params, x, "default", alt)
+        if ips_d and ips_a:
+            result["vs_alternate"] = round(ips_d / ips_a, 3)
+            result["alternate_img_per_s"] = round(ips_a, 2)
+
+    def sec_lookup_heavy() -> None:
+        # LlamaGen f8 (1024 tokens/img, 16384 codes, dim lifted to 64 so
+        # the distance matmul is MXU-shaped); the comparison IS the point
+        # here, so both paths stay interleaved
+        model8, params8, x8 = build(
+            batch=16, img=256, codebook=16384, dim=64,
+            width=64, width_mults=(1, 1, 2, 2), normalize=True,
+        )
+        alt8 = "pallas" if not _default_lookup_is_pallas(64) else "xla"
+        lh_d, lh_a = images_per_sec_pair(model8, params8, x8, "default", alt8)
+        result["lookup_heavy"] = {
+            "metric": "img/s f8 tokenize (1024 tok/img, 16384x64 codebook)",
+            "img_per_s": round(lh_d, 2) if lh_d else None,
+            "vs_alternate": (
+                round(lh_d / lh_a, 3) if lh_d and lh_a else None
+            ),
+        }
+
+    def sec_lookup_kernels() -> None:
+        # f8 microshape first: it is where the Pallas kernel IS the
+        # shipped default (narrow D can't saturate the MXU from XLA)
+        result["lookup_kernel_f8"] = lookup_kernel_tflops(overhead, d=64)
+        emit()
+        if remaining() > 90:
+            result["lookup_kernel"] = lookup_kernel_tflops(overhead)
+
+    def sec_int8_kernel() -> None:
+        result.setdefault("ar", {})["int8_kernel"] = int8_kernel_microbench(
+            overhead
+        )
+
+    # -- section schedule ---------------------------------------------------
+    # (name, min seconds to be worth starting, body, enabled). Ordered so
+    # the verdict's minimum set lands first; `need` values are measured
+    # r4/r5 section costs with compile headroom on the remote-compile
+    # tunnel. The headline always runs.
+    ar_ok = not args.skip_ar
+    srv_ok = ar_ok and not args.skip_serving
+    core = [
+        ("headline", 0, sec_headline, True),
+        ("ar_core", 180, sec_ar_core, ar_ok),
+        ("serving_best", 200, sec_serving_best, srv_ok),
+        ("serving_staggered", 200, sec_serving_staggered, srv_ok),
+        ("train_ar", 200, sec_train_ar, not args.skip_train),
+        ("train_tok", 240, sec_train_tok, not args.skip_train),
+        ("dataplane", 90, sec_dataplane, True),
+    ]
+    extras = [
+        ("serving_alts", 240, sec_serving_alts, srv_ok),
+        ("lookup_kernels", 150, sec_lookup_kernels, tpu and ar_ok),
+        ("int8_kernel", 150, sec_int8_kernel, tpu and ar_ok),
+        ("ar_extras", 120, sec_ar_extras, ar_ok),
+        ("lookup_heavy", 150, sec_lookup_heavy, True),
+        ("lookup_alt", 120, sec_lookup_alt, True),
+    ]
+    sections = core + ([] if args.fast else extras)
+    for name, need, fn, enabled in sections:
+        if not enabled:
+            continue
+        if name != "headline" and remaining() < need:
+            result.setdefault("skipped", {})[name] = "budget"
+            emit()
+            continue
+        t_sec = time.monotonic()
+        try:
+            fn()
+        except Exception as exc:  # record, keep going: partial > empty
+            result.setdefault("errors", {})[name] = (
+                f"{type(exc).__name__}: {exc}"[:200]
+            )
+        result.setdefault("section_s", {})[name] = round(
+            time.monotonic() - t_sec, 1
+        )
+        emit()
+
     # the native decoder pool / TPU tunnel leave non-daemon threads behind
     # that can keep the process alive after the result is out; the driver
     # needs a clean exit
@@ -1230,13 +1361,12 @@ def _compact(r: dict) -> dict:
         }
     srv = r.get("serving")
     if srv:
-        best = srv.get(srv.get("best_mode") or "int8kv") or {}
+        best = srv.get(srv.get("best_mode") or "int8w_int8kv") or {}
         out["serving"] = {
             "best": best.get("tokens_per_s"),
             "mode": srv.get("best_mode"),
             "img_min": best.get("images_per_min"),
             "eff_vs_decode": srv.get("efficiency_vs_decode"),
-            "eff_vs_decode_best": srv.get("efficiency_vs_decode_best"),
             "overshoot": best.get("overshoot_frac"),
             "idle": best.get("idle_lane_frac"),
             "host": best.get("host_frac"),
@@ -1247,6 +1377,15 @@ def _compact(r: dict) -> dict:
                 "tokens_per_s"
             ),
         }
+        st = srv.get("staggered")
+        if st:
+            out["serving"]["staggered"] = {
+                "tok_s": st.get("tokens_per_s"),
+                "vs_aligned": srv.get("staggered_vs_aligned"),
+                "idle": st.get("idle_lane_frac"),
+                "overshoot": st.get("overshoot_frac"),
+                "host": st.get("host_frac"),
+            }
     tr = r.get("train")
     if tr:
         out["train"] = {
@@ -1279,6 +1418,15 @@ def _compact(r: dict) -> dict:
             "compute": dp.get("img_per_s_compute_only"),
             "threads": dp.get("decode_threads"),
         }
+    if r.get("skipped"):
+        out["skipped"] = sorted(r["skipped"])
+    if r.get("errors"):
+        out["errors"] = {
+            k: v[:60] for k, v in r["errors"].items()
+        }
+    if r.get("section_s"):
+        out["section_s"] = r["section_s"]
+    out["elapsed_s"] = r.get("elapsed_s")
     return out
 
 

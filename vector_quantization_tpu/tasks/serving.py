@@ -82,6 +82,9 @@ class ARServer:
         # the live window at chunk granularity instead of sync granularity
         # (at steps_per_sync=128 / 257-token requests: avg read rows
         # 192 -> 160). None = one scan per sync (the pre-r4 behavior).
+        # Only applies to the dense windowed slot cache: with paged=True or
+        # under a TP strategy (where the window is disabled) each sync runs
+        # as one scan and sync_chunk is a no-op — see step().
         paged: bool = False,
         page_size: int = 64,  # measured optimum with the Pallas paged
         # attention kernel on v5e (3007 vs 2349 eff tok/s at ps=16: fewer,
@@ -99,6 +102,11 @@ class ARServer:
                 raise ValueError("cfg_alpha requires an even batch_slots")
         if steps_per_sync < 1:
             raise ValueError("steps_per_sync must be >= 1")
+        if sync_chunk is not None and sync_chunk < 1:
+            # 0 would silently disable chunking; negatives would make
+            # step()'s kk = min(chunk, k - done) negative — an infinite
+            # dispatch loop (ADVICE r4)
+            raise ValueError("sync_chunk must be None or >= 1")
         # overshoot room: a slot finishing mid-scan keeps decoding until the
         # next host sync (class token + image tokens + (k-1) overshoot)
         needed = 1 + image_tokens + steps_per_sync - 1
