@@ -670,3 +670,140 @@ class TestSyncChunking:
         assert da.keys() == db.keys()
         for rid in da:
             np.testing.assert_array_equal(da[rid], db[rid])
+
+
+class TestSharedColumnDecode:
+    """Shared-column decode (llama.py ``row_starts``): every row writes
+    its KV at the same scalar cache column; RoPE rotated by the shared
+    column preserves each row's logits because rotary attention depends
+    only on the q−k column distance. The dense serving engine builds on
+    this (tasks/serving.py module docstring)."""
+
+    def _params(self):
+        tr = LlamaTransformer(**TINY)
+        params = tr.init(
+            jax.random.PRNGKey(3), jnp.zeros((1, 4), jnp.int32)
+        )["params"]
+        params = dict(params)
+        params["lm_head"] = (
+            jax.random.normal(jax.random.PRNGKey(5), params["lm_head"].shape)
+            * 0.1
+        )
+        return tr, params
+
+    def test_logits_match_per_row_path(self):
+        tr, params = self._params()
+        steps, start1 = 8, 3
+        toks = np.array(
+            [
+                [5, 7, 2, 9, 4, 1, 8, 3],
+                [0, 0, 0, 6, 2, 7, 1, 5],  # row 1 admitted at column 3
+            ],
+            np.int32,
+        )
+        starts = jnp.array([0, start1], jnp.int32)
+        cache_sc = tr.init_cache(2, dtype=jnp.float32)
+        cache_pr = tr.init_cache(2, dtype=jnp.float32)
+        sc_logits, pr_logits = [], []
+        positions = np.array([0, 0], np.int32)
+        for c in range(steps):
+            lg, cache_sc = tr.apply(
+                {"params": params},
+                jnp.asarray(toks[:, c : c + 1]),
+                cache_sc._replace(length=jnp.int32(c)),
+                row_starts=starts,
+            )
+            sc_logits.append(np.asarray(lg[:, 0], np.float32))
+            if c == start1:
+                positions[1] = 0  # per-row path: row 1 resets to pos 0
+            lg2, cache_pr = tr.apply(
+                {"params": params},
+                jnp.asarray(toks[:, c : c + 1]),
+                cache_pr,
+                slot_positions=jnp.asarray(positions),
+            )
+            pr_logits.append(np.asarray(lg2[:, 0], np.float32))
+            positions += 1
+        sc_l, pr_l = np.stack(sc_logits), np.stack(pr_logits)
+        # row 0 valid every step; row 1 valid from its admission column
+        np.testing.assert_allclose(
+            sc_l[:, 0], pr_l[:, 0], atol=2e-3, rtol=2e-3
+        )
+        np.testing.assert_allclose(
+            sc_l[start1:, 1], pr_l[start1:, 1], atol=2e-3, rtol=2e-3
+        )
+
+
+class TestSharedColumnServer:
+    """The dense serving engine: staggered arrivals decode through the
+    scalar-offset shared-column path and must produce the same streams as
+    the per-row scatter path (near-greedy sampling: the two paths differ
+    only by fp rounding from the RoPE column recentering)."""
+
+    def _server(self, aligned, batch_slots=4, cfg=True, **kw):
+        tr = LlamaTransformer(**TINY)
+        params = tr.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32)
+        )["params"]
+        params = dict(params)
+        params["lm_head"] = (
+            jax.random.normal(jax.random.PRNGKey(9), params["lm_head"].shape)
+            * 0.1
+        )
+        cb = TokenCodebook(start=11, size=16)
+        cfg_kw = (
+            dict(cfg_alpha=1.75, uncond_token=10) if cfg else {}
+        )
+        return ARServer(
+            tr, params, cb,
+            image_tokens=6,
+            batch_slots=batch_slots,
+            sampler={"temperature": 1e-4},
+            steps_per_sync=3,
+            aligned=aligned,
+            **cfg_kw,
+            **kw,
+        )
+
+    def test_engine_selected_for_rope_dense(self):
+        assert self._server(aligned=None)._shared_col
+        assert not self._server(aligned=False)._shared_col
+
+    def test_staggered_matches_scatter_greedy(self):
+        outs = {}
+        for mode in (None, False):
+            s = self._server(aligned=mode)
+            s.submit(2)
+            s.step()  # stream 0 mid-flight
+            s.submit(7)
+            s.submit(4)
+            outs[mode] = dict(s.run_until_drained())
+        assert outs[None].keys() == outs[False].keys()
+        for rid in outs[None]:
+            np.testing.assert_array_equal(outs[None][rid], outs[False][rid])
+
+    def test_compaction_over_many_waves(self):
+        # enough sequential waves that the shared column crosses several
+        # 64-blocks: compaction shifts must not corrupt live streams
+        server = self._server(aligned=None, batch_slots=2, cfg=False)
+        rids = [server.submit(c % 7) for c in range(30)]
+        done = server.run_until_drained()
+        assert sorted(r for r, _ in done) == rids
+        for _, codes in done:
+            assert codes.shape == (6,)
+            assert (codes >= 0).all() and (codes < 16).all()
+        assert server.col <= server._sc_cap
+        s = server.stats
+        total = s["row_steps_active"] + s["row_steps_idle"]
+        assert total == s["syncs"] * server.steps_per_sync * server.batch_slots
+        assert s["tokens_delivered"] == 30 * 6
+
+    def test_waste_accounting_nonzero_when_staggered(self):
+        # a lone late arrival leaves the other lanes idle: the waste
+        # instrumentation must actually read nonzero (VERDICT r4 weak #6)
+        server = self._server(aligned=None)
+        server.submit(1)
+        server.run_until_drained()
+        rep = server.efficiency_report()
+        assert rep["idle_lane_frac"] > 0  # 1 of 2 CFG pairs ever active
+        assert rep["useful_frac"] > 0

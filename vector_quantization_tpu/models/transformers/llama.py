@@ -456,12 +456,18 @@ class LlamaTransformer(nn.Module):
     # all layers OOM a 16 GB chip at Llama-medium b32/257 (reference
     # recipe is global batch 256); with it only block inputs are saved
 
+    # RoPE is relative, so the shared-column serving engine's column
+    # recentering preserves logits (see __call__ row_starts); absolute
+    # learned-position models (GPT-2) must use the per-row scatter path
+    supports_shared_column = True
+
     @nn.compact
     def __call__(
         self,
         tokens: jax.Array,
         cache: KVCache | None = None,
         slot_positions: jax.Array | None = None,
+        row_starts: jax.Array | None = None,
     ):
         """Training/prefill: tokens (B, T) → logits (B, T, V).
 
@@ -471,8 +477,27 @@ class LlamaTransformer(nn.Module):
         With ``slot_positions`` (B,) int32 (requires cache and T == 1):
         continuous-batching mode — every batch slot decodes at its OWN
         position (new requests prefill at 0 while others are mid-image).
+        Each row's KV is scattered at its own cache column.
+
+        With ``row_starts`` (B,) int32 (requires cache, scalar-offset
+        decode): SHARED-COLUMN continuous batching — every row writes its
+        KV at the same cache column (``cache.length``), but row b's
+        stream logically began at column ``row_starts[b]``, so its
+        attention is masked to columns ``[row_starts[b], length]``. RoPE
+        is rotated by the shared cache column: rotation is relative
+        (q at col t vs k at col c depends only on t−c = the true
+        sequence distance for every row), so logits match the per-row
+        ``slot_positions`` path up to fp rounding while keeping the
+        scalar-offset dynamic-update-slice cache writes — the per-row
+        scatter form defeats XLA's convert+dot fusion and reads the
+        attention window ~2x slower on v5e (work_dirs/exp/
+        exp_perrow_ablate.py).
         """
         b, t = tokens.shape
+        if row_starts is not None:
+            assert cache is not None and slot_positions is None, (
+                "row_starts requires the scalar-offset cache decode"
+            )
         emb = self.param(
             "embedding",
             _dense_init,
@@ -507,6 +532,14 @@ class LlamaTransformer(nn.Module):
             col = jnp.arange(s)[None, :]
             row = jnp.arange(t)[:, None] + offset
             mask = jnp.where(col <= row, 0.0, -1e9)[None, None]
+            if row_starts is not None:
+                # shared-column batching: row b must not read cache
+                # columns before its stream's first column
+                start_ok = (
+                    jnp.arange(s)[None, None, None, :]
+                    >= row_starts[:, None, None, None]
+                )
+                mask = jnp.where(start_ok, mask, -1e9)
         int8_cache = (
             cache is not None and not paged and cache.k_scale is not None
         )
