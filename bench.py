@@ -358,12 +358,19 @@ def int8_kernel_microbench(overhead: float) -> dict:
     matrices per pass (a single looped weight stays VMEM-resident and
     measures the MXU, not HBM — 24 layers' weights evict each other like
     the real decode loop). Reports ms/pass and achieved weight GB/s.
-    n=5 trials INTERLEAVED with spread fields (VERDICT r3 weak #3: the r3
-    single-shot capture and its re-run differed by 60%)."""
+
+    Methodology (VERDICT r4 #4 — the r4 capture's spread was 1.886 at
+    n=5, which supports no claim): each timed call previously ran a
+    ~30 ms chain, the same order as the tunnel's RPC jitter, so per-trial
+    noise swamped the signal. Now the chain is ~250 ms (chain=512),
+    trials are interleaved AND order-alternated (int8 first on even
+    trials, bf16 first on odd — cancels slow drift), and when the
+    min-to-max spread still exceeds 0.3 the record says
+    ``"unstable": true`` and carries NO speedup number."""
     from vector_quantization_tpu.ops.int8_matmul import int8_matmul
 
     b, d, f = AR_SERVE_BATCH, 1024, 2816
-    layers, chain = 24, 64
+    layers, chain = 24, 512
     key = jax.random.PRNGKey(0)
     ws = jax.random.normal(key, (layers, d, f), jnp.float32) * 0.02
     scale = jnp.maximum(jnp.abs(ws).max(axis=1) / 127.0, 1e-8)  # (L, f)
@@ -414,10 +421,11 @@ def int8_kernel_microbench(overhead: float) -> dict:
     for fn, w, s in runs.values():
         float(fn(x0, jnp.float32(0), w, s))  # compile
         float(fn(x0, jnp.float32(0.5), w, s))  # warm execution path
-    trials = 5
+    trials = 7
     ts: dict[str, list[float]] = {name: [] for name in runs}
+    order = list(runs.items())
     for i in range(trials):
-        for name, (fn, w, s) in runs.items():
+        for name, (fn, w, s) in (order if i % 2 == 0 else order[::-1]):
             t0 = time.perf_counter()
             float(fn(x0, jnp.float32(i + 1), w, s))
             ts[name].append(time.perf_counter() - t0)
@@ -441,7 +449,12 @@ def int8_kernel_microbench(overhead: float) -> dict:
         out["bf16_weight_gb_s"] = round(layers * d * f * 2 / t_bf / 1e9, 1)
         out["bf16_spread"] = bf_spread
     if t_i8 and t_bf:
-        out["int8_speedup"] = round(t_bf / t_i8, 2)
+        # a spread above 0.3 means the MEASUREMENT failed, not the
+        # kernel: refuse to print a speedup that is a noise draw
+        if max(i8_spread, bf_spread) > 0.3:
+            out["unstable"] = True
+        else:
+            out["int8_speedup"] = round(t_bf / t_i8, 2)
     return out
 
 
@@ -965,6 +978,11 @@ def dataplane_tokenize(model, params, probe_pristine: bool = False) -> dict | No
         t_pipe = time.perf_counter() - t0
         thread.join()
         return {
+            # e2e = the better of the two forms — what DataLoader's
+            # pipeline="auto" calibration ships (VERDICT r4 #6); both
+            # rates stay recorded every round
+            "img_per_s_e2e": round(n_images / min(t_pipe, t_seq), 1),
+            "e2e_mode": "pipelined" if t_pipe <= t_seq else "sequential",
             "img_per_s_e2e_pipelined": round(n_images / t_pipe, 1),
             "img_per_s_e2e_sequential": round(n_images / t_seq, 1),
             "img_per_s_decode_only": round(n_images / t_decode, 1),
@@ -1409,7 +1427,9 @@ def _compact(r: dict) -> dict:
     dp = r.get("dataplane")
     if dp:
         out["dataplane"] = {
-            "e2e": dp.get("img_per_s_e2e_pipelined"),
+            "e2e": dp.get("img_per_s_e2e"),
+            "mode": dp.get("e2e_mode"),
+            "pipe": dp.get("img_per_s_e2e_pipelined"),
             "seq": dp.get("img_per_s_e2e_sequential"),
             "decode": dp.get("img_per_s_decode_only"),
             "upload": dp.get("img_per_s_upload_only"),

@@ -106,6 +106,37 @@ class TestDataLoader:
         assert len(batches) == 3
         assert all(b.image.shape[0] == 4 for b in batches)
 
+    def test_pipeline_auto_calibrates_once(self):
+        # pipeline="auto" (default) times inline vs producer-thread on
+        # the first batches, picks empirically, and must neither drop,
+        # reorder nor duplicate data (VERDICT r4 #6)
+        ds = SyntheticDataset(size=40, image_size=8)
+        dl = DataLoader(ds, batch_size=4, num_workers=2)
+        e1 = [id_ for b in dl for id_ in b.id_]
+        assert dl._pipeline_choice in ("thread", "inline")
+        choice = dl._pipeline_choice
+        e2 = [id_ for b in dl for id_ in b.id_]  # sticky across epochs
+        assert e1 == e2
+        assert dl._pipeline_choice == choice
+        assert len(e1) == 40
+
+    def test_pipeline_forced_modes_match(self):
+        ds = SyntheticDataset(size=24, image_size=8)
+        ref = [
+            id_
+            for b in DataLoader(ds, batch_size=4, num_workers=0)
+            for id_ in b.id_
+        ]
+        for mode in ("thread", "inline"):
+            got = [
+                id_
+                for b in DataLoader(
+                    ds, batch_size=4, num_workers=2, pipeline=mode
+                )
+                for id_ in b.id_
+            ]
+            assert got == ref
+
 
 class TestTransforms:
     """All four reference augmentation presets

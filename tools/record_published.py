@@ -46,6 +46,11 @@ CHECK_TOL = {
     "mse": 0.05,
     "psnr": 1.0,
     "ssim": 0.1,
+    "loss": 0.2,  # smoke-scale CE; same-platform reruns are bit-stable
+    "accuracy": 0.05,
+    "decode_hash": 0.5,  # integers: any drift in the greedy token stream
+    # (decode scan / KV cache / CFG / sampler) fails exactly
+    "decode_mean": 1.0,  # diagnostic companion when the hash trips
 }
 
 
@@ -119,6 +124,55 @@ def self_trained_2k(work_dir: str) -> dict:
     return _train_and_validate(work_dir, "train_anchor.py", "anchor2k")
 
 
+def self_trained_ar(work_dir: str) -> dict:
+    """Stage-2 anchor (VERDICT r4 #7): tiny C2I Llama on a frozen-random-
+    tokenizer corpus. Teacher-forced CE + accuracy gate training drift; a
+    greedy-decode token-stream hash gates the decode path (jitted scan,
+    KV cache, CFG mixing, sampler)."""
+    import zlib
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vector_quantization_tpu.tasks.sequence_modeling import generate
+    from vector_quantization_tpu.training.runner import build_runner
+    from vector_quantization_tpu.utils.config import load_config
+
+    config = load_config(
+        os.path.join(REPO, "configs", "regression", "ar_anchor.py")
+    )
+    trainer = build_runner(config, "trainer")
+    trainer.work_dir = os.path.join(work_dir, "anchor_ar_train")
+    trainer.init_state()
+    state = trainer.run()
+    validator = build_runner(config, "validator")
+    validator.work_dir = os.path.join(work_dir, "anchor_ar_val")
+    validator.init_state()
+    results = {k: float(v) for k, v in validator.run(state).items()}
+
+    algo = trainer.algorithm
+    cond = jnp.arange(4, dtype=jnp.int32)
+    if algo.cfg is not None:
+        cond = jnp.concatenate(
+            [jnp.full_like(cond, algo.uncondition_token), cond]
+        )
+    codes = generate(
+        algo.model,
+        state.params,
+        cond[:, None],
+        algo.image_hw * algo.image_hw,
+        algo.image_codebook,
+        jax.random.PRNGKey(1234),
+        sampler={"temperature": 1.0, "top_k": 1},  # greedy: bit-stable
+        cfg_alpha=algo.cfg_alpha if algo.cfg is not None else None,
+    )
+    arr = np.asarray(codes, np.int32)
+    results["decode_hash"] = float(zlib.crc32(arr.tobytes()) % 10**6)
+    results["decode_mean"] = float(arr.mean())
+    return results
+
+
 PROVENANCE = {
     "synthetic_taming_vqgan": (
         "synthetic: fixed-seed (torch.manual_seed(0)) random checkpoint in "
@@ -136,6 +190,13 @@ PROVENANCE = {
         "seed 3407, synthetic sinusoid corpus; reaches non-trivial "
         "reconstruction (PSNR >= 15) so the drift gate has signal beyond "
         "smoke-run noise."
+    ),
+    "self_trained_ar": (
+        "self-trained: configs/regression/ar_anchor.py, 800 iters, seed "
+        "3407, tiny C2I Llama on a frozen-random-tokenizer corpus; "
+        "teacher-forced CE/accuracy gate training drift, decode_hash "
+        "(crc32 of the greedy-decode token stream, fixed key) gates the "
+        "jitted decode scan / KV cache / CFG / sampler."
     ),
 }
 
@@ -161,6 +222,7 @@ def main(argv=None) -> int:
         "synthetic_taming_vqgan": synthetic_golden(args.work_dir),
         "self_trained_smoke": self_trained_smoke(args.work_dir),
         "self_trained_2k": self_trained_2k(args.work_dir),
+        "self_trained_ar": self_trained_ar(args.work_dir),
     }
     print(json.dumps(measured, indent=2))
 
