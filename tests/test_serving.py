@@ -784,19 +784,26 @@ class TestSharedColumnServer:
 
     def test_compaction_over_many_waves(self):
         # enough sequential waves that the shared column crosses several
-        # 64-blocks: compaction shifts must not corrupt live streams
-        server = self._server(aligned=None, batch_slots=2, cfg=False)
-        rids = [server.submit(c % 7) for c in range(30)]
-        done = server.run_until_drained()
-        assert sorted(r for r, _ in done) == rids
-        for _, codes in done:
-            assert codes.shape == (6,)
-            assert (codes >= 0).all() and (codes < 16).all()
-        assert server.col <= server._sc_cap
-        s = server.stats
-        total = s["row_steps_active"] + s["row_steps_idle"]
-        assert total == s["syncs"] * server.steps_per_sync * server.batch_slots
-        assert s["tokens_delivered"] == 30 * 6
+        # 64-blocks: compaction shifts must not corrupt live streams —
+        # token streams must MATCH the scatter engine's (which has no
+        # column space at all), not merely be in-range
+        outs = {}
+        for mode in (None, False):
+            server = self._server(aligned=mode, batch_slots=2, cfg=False)
+            rids = [server.submit(c % 7) for c in range(30)]
+            outs[mode] = dict(server.run_until_drained())
+            assert sorted(outs[mode]) == rids
+            if mode is None:
+                assert server.col <= server._sc_cap
+                s = server.stats
+                total = s["row_steps_active"] + s["row_steps_idle"]
+                assert (
+                    total
+                    == s["syncs"] * server.steps_per_sync * server.batch_slots
+                )
+                assert s["tokens_delivered"] == 30 * 6
+        for rid in outs[None]:
+            np.testing.assert_array_equal(outs[None][rid], outs[False][rid])
 
     def test_waste_accounting_nonzero_when_staggered(self):
         # a lone late arrival leaves the other lanes idle: the waste

@@ -719,8 +719,21 @@ class ARServer:
             self._shift_fns[(cur, shift, new_w)] = fn
         self.cache = fn(self.cache)
         self.col -= shift
-        self.starts = self.starts - shift
+        # idle rows may be anchored before the shift point (their starts
+        # only re-anchor at their own boundaries): clamp at 0 — a too-low
+        # start only widens an idle lane's mask, never corrupts a stream
+        self.starts = np.maximum(self.starts - shift, 0)
         self._starts_dev = self._put(self.starts)
+        # host bookkeeping lives in the same column space: shift it too
+        # (missing this deferred completions by `shift` columns and made
+        # extraction read the wrong scan window — caught by the cap
+        # assert on the first full-shape run)
+        for slot in self.slots:
+            slot.start_col = max(slot.start_col - shift, 0)
+        for slot in self._finished_slots:
+            slot.start_col -= shift
+            if slot.end_col is not None:
+                slot.end_col -= shift
 
     def efficiency_report(self) -> dict:
         """Decode-step waste breakdown (VERDICT r3 #3): fractions of all
