@@ -275,11 +275,21 @@ class ARServer:
         )
         if self._shared_col:
             self.col = 0  # next cache column to be written
-            self.starts = np.zeros(batch_slots, np.int32)  # host mirror
+            # starts live HOST-ONLY (numpy): the jitted decode takes them
+            # as a per-call argument, so turnover needs no device mirror
+            self.starts = np.zeros(batch_slots, np.int32)
             self._tokens_dev: jax.Array | None = None
-            self._starts_dev: jax.Array | None = None
             self._finished_slots: list[_Slot] = []
-            self._shift_fns: dict = {}
+            # turnover/compaction state consumed by the NEXT chunk
+            # dispatch (boundaries make no device calls of their own)
+            self._reset_mask = np.zeros(batch_slots, bool)
+            self._reset_tokens = np.zeros(batch_slots, np.int32)
+            self._pending_shift = 0
+            # one-sync pipelining: sync N's scans are dispatched BEFORE
+            # sync N-1's tokens are fetched/extracted, so host bookkeeping
+            # overlaps device decode (turnover scheduling is deterministic
+            # in step counts — it never needs the data)
+            self._sc_pending: tuple | None = None
             # window ceiling: after a sync-start compaction the live span
             # is <= image_tokens + sync_chunk - 1 (completions are
             # replaced at chunk boundaries) + 63 rounding; within a sync
@@ -354,15 +364,44 @@ class ARServer:
 
         self._decode = jax.jit(decode, donate_argnums=(1,))
 
-        def decode_sc(params, cache, tokens, starts, base_col, keys):
+        def decode_sc(
+            params, cache, tokens, starts, w_out, base_col, shift,
+            reset_mask, reset_tokens, keys,
+        ):
             """Shared-column decode (the dense-cache engine): every row
             writes its KV at the same scalar column ``base_col + step``
             (dus write — no per-row scatter; ~2x faster attention reads
             than the scatter-fed form, profiled 0.21 vs 0.45 us/KV-row on
-            v5e); ``starts`` masks each row's reads to its own stream.
-            With all starts equal this is the aligned fast path; with
-            mixed starts it is staggered continuous batching at the same
-            speed. Scan length = ``keys.shape[0]`` (see ``decode``)."""
+            v5e); ``starts`` (a host numpy array, uploaded with the
+            dispatch) masks each row's reads to its own stream. With all
+            starts equal this is the aligned fast path; with mixed starts
+            it is staggered continuous batching at the same speed.
+
+            Slot turnover and column compaction are FOLDED INTO this one
+            dispatch: ``reset_mask``/``reset_tokens`` apply pending
+            admissions, and the cache is shifted left by the (dynamic)
+            ``shift`` columns and re-windowed to the static ``w_out`` —
+            through a high-latency dispatch tunnel every separate device
+            call at a boundary blocks the host ~20-240 ms (measured), so
+            the engine makes the chunk scans the ONLY device calls. All
+            widths/shifts are 64-multiples, so padding by one 64-block
+            before the dynamic slice always covers the window growth.
+            Scan length = ``keys.shape[0]`` (see ``decode``)."""
+            tokens = jnp.where(reset_mask, reset_tokens, tokens)
+
+            def fix(a):
+                if getattr(a, "ndim", 0) < 3:
+                    return a
+                grow = max(w_out + 64 - a.shape[1], 64)
+                pad = [(0, 0)] * a.ndim
+                pad[1] = (0, grow)
+                a = jnp.pad(a, pad)
+                idx = (jnp.int32(0), shift) + (jnp.int32(0),) * (a.ndim - 2)
+                return jax.lax.dynamic_slice(
+                    a, idx, (a.shape[0], w_out) + a.shape[2:]
+                )
+
+            cache = jax.tree_util.tree_map(fix, cache)
             cache = cache._replace(length=base_col)
 
             def body(carry, step_key):
@@ -381,18 +420,9 @@ class ARServer:
             )
             return toks, cache, tokens
 
-        self._decode_sc = jax.jit(decode_sc, donate_argnums=(1,))
-
-        def reset_rows(tokens, starts, mask, new_tokens, new_start):
-            """Slot turnover between chunk scans — a tiny async device op,
-            so admissions/completions inside a sync cost no host round
-            trip (arrival/completion steps are deterministic)."""
-            return (
-                jnp.where(mask, new_tokens, tokens),
-                jnp.where(mask, new_start, starts),
-            )
-
-        self._reset_fn = jax.jit(reset_rows, donate_argnums=(0, 1))
+        self._decode_sc = jax.jit(
+            decode_sc, static_argnums=(4,), donate_argnums=(1, 2)
+        )
 
     # -- public api ----------------------------------------------------------
 
@@ -404,7 +434,10 @@ class ARServer:
 
     @property
     def pending(self) -> int:
-        return len(self.queue) + int(self.active.sum())
+        n = len(self.queue) + int(self.active.sum())
+        if getattr(self, "_sc_pending", None) is not None:
+            n += 1  # a dispatched sync awaiting extraction (pipelining)
+        return n
 
     def step(self) -> list[tuple[int, np.ndarray]]:
         """Advance every slot ``steps_per_sync`` tokens (one host sync);
@@ -539,100 +572,128 @@ class ARServer:
         docstring): slot turnover is pre-scheduled at chunk boundaries
         (completions/admissions are deterministic in step counts — no
         readback needed), all rows decode through the scalar-offset
-        cache form, and the host fetches tokens once at the end."""
+        cache form, and the PREVIOUS sync's tokens are fetched/extracted
+        only after this sync's scans are dispatched — host bookkeeping
+        overlaps device decode (results lag one step() call)."""
         import time
 
         t_host0 = time.perf_counter()
+        dev_s = 0.0
         if self._tokens_dev is None:
             self._tokens_dev = self._put(self.tokens)
-            self._starts_dev = self._put(self.starts)
         k = self.steps_per_sync
         chunk = self.sync_chunk
-        # sync-start boundary, then emit streams whose turnover this
-        # boundary completed (their tokens were fetched last sync)
         self._sc_boundary()
-        finished = self._sc_emit_finished()
-        if not self.active.any():
-            return finished  # scan-free drain step
-        self._sc_compact()
-        col0 = self.col
-        # occupancy timeline per request slot for end-of-sync extraction
-        occupants: list[list[_Slot]] = [
-            [self.slots[i]] if self.active[i] else []
-            for i in range(self.num_requests_slots)
-        ]
-        self.rng, key = jax.random.split(self.rng)
-        # one split for the whole sync: the sampled stream is identical
-        # whatever sync_chunk divides the scan into
-        keys = jax.random.split(key, k)
-        t_dev0 = time.perf_counter()
-        toks_parts = []
-        done = 0
-        while done < k:
-            kk = min(chunk, k - done)
-            if done:
-                for i in self._sc_boundary():
-                    occupants[i].append(self.slots[i])
-            w = 64 * -(-(self.col + kk) // 64)
-            assert w <= self._sc_cap, (w, self._sc_cap)
-            self._resize_window(w)
-            toks_c, self.cache, self._tokens_dev = self._decode_sc(
-                self.params,
-                self.cache,
-                self._tokens_dev,
-                self._starts_dev,
-                self._put(np.int32(self.col)),
-                keys[done : done + kk],
+        pending = None
+        if self.active.any():
+            self._sc_compact()
+            col0 = self.col
+            # occupancy timeline per request slot for this sync
+            occupants: list[list[_Slot]] = [
+                [self.slots[i]] if self.active[i] else []
+                for i in range(self.num_requests_slots)
+            ]
+            self.rng, key = jax.random.split(self.rng)
+            # one split for the whole sync: the sampled stream is
+            # identical whatever sync_chunk divides the scan into
+            keys = jax.random.split(key, k)
+            t_dev0 = time.perf_counter()
+            toks_parts = []
+            done = 0
+            while done < k:
+                kk = min(chunk, k - done)
+                if done:
+                    for i in self._sc_boundary():
+                        occupants[i].append(self.slots[i])
+                w_out = 64 * -(-(self.col + kk) // 64)
+                assert w_out <= self._sc_cap, (w_out, self._sc_cap)
+                # decode_sc pads one 64-block before its dynamic slice;
+                # widths/shifts being 64-multiples makes that enough
+                assert self._pending_shift + w_out <= max(
+                    w_out + 64, self.cache.window + 64
+                ), (self._pending_shift, w_out, self.cache.window)
+                mask, new_toks = self._reset_mask, self._reset_tokens
+                self._reset_mask = np.zeros(self.batch_slots, bool)
+                self._reset_tokens = np.zeros(self.batch_slots, np.int32)
+                shift, self._pending_shift = self._pending_shift, 0
+                toks_c, self.cache, self._tokens_dev = self._decode_sc(
+                    self.params,
+                    self.cache,
+                    self._tokens_dev,
+                    self.starts.copy(),  # numpy: rides the dispatch
+                    w_out,
+                    np.int32(self.col),
+                    np.int32(shift),
+                    mask,
+                    new_toks,
+                    keys[done : done + kk],
+                )
+                toks_parts.append(toks_c)
+                self.col += kk
+                done += kk
+            dev_s += time.perf_counter() - t_dev0
+            # shift-immune extraction descriptors, computed NOW (no
+            # compaction happens mid-sync, so scan indices are stable;
+            # slot.start_col may shift before the delayed extraction)
+            descs: list[tuple[_Slot, int, int, int]] = []
+            active_steps = 0
+            for i, occ in enumerate(occupants):
+                row = i * self.lanes + (self.lanes - 1)  # cond lane
+                for slot in occ:
+                    s = slot.start_col
+                    lo = max(s - col0, 0)  # first scan index occupied
+                    hi = (  # replacement boundary (excl.), capped at k
+                        min(slot.end_col - col0, k)
+                        if slot.end_col is not None
+                        else k
+                    )
+                    active_steps += (hi - lo) * self.lanes
+                    # image token #(c−s+1) is sampled at column c:
+                    # productive columns are s .. s+image_tokens−1
+                    j1 = min(s + self.image_tokens - col0, hi)
+                    if j1 > lo:
+                        descs.append((slot, row, lo, j1))
+                        self.stats["tokens_delivered"] += j1 - lo
+            self.stats["syncs"] += 1
+            self.stats["row_steps_active"] += active_steps
+            self.stats["row_steps_idle"] += (
+                k * self.batch_slots - active_steps
             )
-            toks_parts.append(toks_c)
-            self.col += kk
-            done += kk
+            pending = (toks_parts, descs)
+        prev, self._sc_pending = self._sc_pending, pending
+        if prev is not None:
+            dev_s += self._sc_extract(prev)
+        finished = self._sc_emit_finished()
+        self.stats["device_s"] += dev_s
+        self.stats["host_s"] += (time.perf_counter() - t_host0) - dev_s
+        return finished
+
+    def _sc_extract(self, prev) -> float:
+        """Fetch a dispatched sync's tokens and append them to their
+        streams; returns the seconds spent blocked on the device."""
+        import time
+
+        toks_parts, descs = prev
+        t0 = time.perf_counter()
         toks = np.asarray(
             toks_parts[0]
             if len(toks_parts) == 1
             else jnp.concatenate(toks_parts, axis=0)
         )  # (k, B)
-        t_dev1 = time.perf_counter()
-
-        self.stats["syncs"] += 1
-        self.stats["device_s"] += t_dev1 - t_dev0
-        active_steps = 0
-        for i, occ in enumerate(occupants):
-            row = i * self.lanes + (self.lanes - 1)  # cond lane
-            for slot in occ:
-                s = slot.start_col
-                lo = max(s - col0, 0)  # first scan index occupied
-                hi = (  # replacement boundary (exclusive), capped at k
-                    min(slot.end_col - col0, k)
-                    if slot.end_col is not None
-                    else k
-                )
-                active_steps += (hi - lo) * self.lanes
-                # image token #(c−s+1) is sampled at column c: productive
-                # columns are s .. s+image_tokens−1; later ones overshoot
-                j1 = min(s + self.image_tokens - col0, hi)
-                for j in range(lo, j1):
-                    slot.tokens.append(int(toks[j, row]))
-                    self.stats["tokens_delivered"] += 1
-        self.stats["row_steps_active"] += active_steps
-        self.stats["row_steps_idle"] += k * self.batch_slots - active_steps
-        # streams completing exactly at sync end are emitted by the next
-        # step()'s boundary (scan-free when nothing else is pending)
-        finished.extend(self._sc_emit_finished())
-        self.stats["host_s"] += (
-            time.perf_counter() - t_host0
-        ) - (t_dev1 - t_dev0)
-        return finished
+        dt = time.perf_counter() - t0
+        for slot, row, lo, j1 in descs:
+            slot.tokens.extend(toks[lo:j1, row].tolist())
+        return dt
 
     def _sc_boundary(self) -> list[int]:
         """Slot turnover at the current column: deterministic completions
-        free their slots, queued requests are admitted via an async
-        device-side token/start reset, and freed lanes are re-anchored at
-        the current column so stale starts never widen attention masks or
-        block compaction. Returns slot indices with NEW occupants."""
+        free their slots, queued requests are admitted, and freed lanes
+        are re-anchored at the current column so stale starts never widen
+        attention masks or block compaction. Pure host bookkeeping — the
+        token resets accumulate into ``_reset_mask``/``_reset_tokens``
+        and ride the next chunk's decode dispatch. Returns slot indices
+        with NEW occupants."""
         col = self.col
-        reset_mask = np.zeros(self.batch_slots, bool)
-        new_tokens = np.zeros(self.batch_slots, np.int32)
         newly: list[int] = []
         for i in range(self.num_requests_slots):
             slot = self.slots[i]
@@ -642,7 +703,8 @@ class ARServer:
                 self.active[i] = False
                 self.slots[i] = _Slot(start_col=col)
                 rows = slice(i * self.lanes, (i + 1) * self.lanes)
-                reset_mask[rows] = True
+                self._reset_mask[rows] = True
+                self._reset_tokens[rows] = 0
                 self.starts[rows] = col
             if not self.active[i] and self.queue:
                 rid, category = self.queue.popleft()
@@ -652,21 +714,13 @@ class ARServer:
                 self.active[i] = True
                 newly.append(i)
                 base = i * self.lanes
-                reset_mask[base : base + self.lanes] = True
+                self._reset_mask[base : base + self.lanes] = True
                 self.starts[base : base + self.lanes] = col
                 if self.lanes == 2:
-                    new_tokens[base] = self.uncond_token
-                    new_tokens[base + 1] = category
+                    self._reset_tokens[base] = self.uncond_token
+                    self._reset_tokens[base + 1] = category
                 else:
-                    new_tokens[base] = category
-        if reset_mask.any():
-            self._tokens_dev, self._starts_dev = self._reset_fn(
-                self._tokens_dev,
-                self._starts_dev,
-                self._put(reset_mask),
-                self._put(new_tokens),
-                self._put(np.int32(col)),
-            )
+                    self._reset_tokens[base] = category
         return newly
 
     def _sc_emit_finished(self) -> list[tuple[int, np.ndarray]]:
@@ -684,10 +738,13 @@ class ARServer:
         return out
 
     def _sc_compact(self) -> None:
-        """Shift the cache left past columns no live stream can read,
-        bounding the shared column space (shifts in 64-multiples bound
-        the compiled variants; cost ~ one live-window copy per sync —
-        ~1% of the sync's weight reads at the serving shape)."""
+        """Shift the column space left past columns no live stream can
+        read, bounding the shared column space. Pure host bookkeeping:
+        the actual cache shift (a dynamic-slice, ~3 ms of device copy)
+        rides the next chunk's decode dispatch via ``_pending_shift`` —
+        a separate device call here measured 60-240 ms of host stall
+        through the dispatch tunnel. Shifts are 64-multiples so the
+        decode variants stay bounded by (w_in, w_out, chunk) shapes."""
         active_rows = np.repeat(self.active, self.lanes)
         m = (
             int(self.starts[active_rows].min())
@@ -697,33 +754,12 @@ class ARServer:
         shift = 64 * (m // 64)
         if shift <= 0:
             return
-        cur = self.cache.window
-        new_w = max(64 * -(-(self.col - shift) // 64), 64)
-        fn = self._shift_fns.get((cur, shift, new_w))
-        if fn is None:
-
-            def shift_resize(cache, cur=cur, shift=shift, w=new_w):
-                def fix(a):
-                    if getattr(a, "ndim", 0) < 3:
-                        return a
-                    sl = a[:, shift : min(cur, shift + w)]
-                    if sl.shape[1] < w:
-                        pad = [(0, 0)] * a.ndim
-                        pad[1] = (0, w - sl.shape[1])
-                        sl = jnp.pad(sl, pad)
-                    return sl
-
-                return jax.tree_util.tree_map(fix, cache)
-
-            fn = jax.jit(shift_resize, donate_argnums=0)
-            self._shift_fns[(cur, shift, new_w)] = fn
-        self.cache = fn(self.cache)
+        self._pending_shift += shift
         self.col -= shift
         # idle rows may be anchored before the shift point (their starts
         # only re-anchor at their own boundaries): clamp at 0 — a too-low
         # start only widens an idle lane's mask, never corrupts a stream
         self.starts = np.maximum(self.starts - shift, 0)
-        self._starts_dev = self._put(self.starts)
         # host bookkeeping lives in the same column space: shift it too
         # (missing this deferred completions by `shift` columns and made
         # extraction read the wrong scan window — caught by the cap
