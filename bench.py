@@ -40,6 +40,7 @@ import sys
 import tempfile
 import time
 import warnings
+from functools import partial
 from typing import Any
 
 # XLA donation warnings flooded the r4 driver capture's tail (the serving
@@ -800,8 +801,14 @@ def _ar_train_bench(
             vocabulary_size=NUM_CATEGORIES + 1 + AR_CODEBOOK,
             max_length=1 + AR_LONG,
             dtype=jnp.bfloat16,
-            remat=True,  # per-block remat: the full-residual backward
-            # OOMs 16 GB HBM at b32 (saved (B,H,T,T) scores x 24 layers)
+            remat=True,  # required: the no-remat backward's saved
+            # (B,H,T,T) score residuals OOM 16 GB HBM at b32
+            remat_policy="dots",  # save projection dots, recompute only
+            # attention/elementwise: measured 26.5k vs 24.7k tok/s b64
+            # over full remat (r5, work_dirs/exp/exp_ar_mfu_r5.py), and
+            # the reported mfu becomes HONEST — full remat's compiled
+            # flops include ~33% self-inflicted recompute (r4's 0.43 was
+            # on that inflated basis)
             **cfg,
         )
         tokens = jnp.zeros((batch, 1 + AR_LONG), jnp.int32)
@@ -809,7 +816,10 @@ def _ar_train_bench(
         tx = optax.adamw(1e-4, weight_decay=5e-2)
         opt_state = tx.init(params)
 
-        @jax.jit
+        # donating params+opt_state is what lets the dots-policy
+        # residuals (~8.5 GB at b64) fit: without it the update
+        # double-buffers ~4 GB of params/optimizer state
+        @partial(jax.jit, donate_argnums=(0, 1))
         def step(params, opt_state, tokens):
             def loss_fn(p):
                 return next_token_ce(tr.apply({"params": p}, tokens), tokens)

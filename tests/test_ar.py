@@ -478,21 +478,28 @@ class TestRemat:
     def test_grads_identical(self):
         toks = jax.random.randint(jax.random.PRNGKey(1), (2, 10), 0, 64)
         grads = {}
-        for remat in (False, True):
-            tr = LlamaTransformer(remat=remat, **TINY)
+        # remat_policy="dots" saves projection dots and recomputes only
+        # attention/elementwise — must be gradient-identical too
+        for name, kw in (
+            ("none", dict(remat=False)),
+            ("full", dict(remat=True)),
+            ("dots", dict(remat=True, remat_policy="dots")),
+        ):
+            tr = LlamaTransformer(**kw, **TINY)
             params = tr.init(jax.random.PRNGKey(0), toks)["params"]
-            grads[remat] = jax.grad(
+            grads[name] = jax.grad(
                 lambda p: next_token_ce(
                     tr.apply({"params": p}, toks), toks
                 )
             )(params)
-        a = jax.tree_util.tree_leaves(grads[False])
-        b = jax.tree_util.tree_leaves(grads[True])
-        assert len(a) == len(b)
-        for x, y in zip(a, b):
-            np.testing.assert_allclose(
-                np.asarray(x), np.asarray(y), atol=1e-6
-            )
+        a = jax.tree_util.tree_leaves(grads["none"])
+        for other in ("full", "dots"):
+            b = jax.tree_util.tree_leaves(grads[other])
+            assert len(a) == len(b)
+            for x, y in zip(a, b):
+                np.testing.assert_allclose(
+                    np.asarray(x), np.asarray(y), atol=1e-6
+                )
 
 
 class TestInt8KVCache:

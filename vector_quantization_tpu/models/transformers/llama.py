@@ -455,6 +455,12 @@ class LlamaTransformer(nn.Module):
     # forward: without it the saved (B, H, T, T) score/prob residuals of
     # all layers OOM a 16 GB chip at Llama-medium b32/257 (reference
     # recipe is global batch 256); with it only block inputs are saved
+    remat_policy: str | None = None  # None = full per-block remat;
+    # "dots" = jax.checkpoint_policies.dots_with_no_batch_dims_saveable:
+    # projection matmul outputs are SAVED (~354 MB/layer bf16 at b64) and
+    # only attention scores/softmax/elementwise recompute — the backward
+    # re-runs ~4% of the block's FLOPs instead of ~33%, trading HBM for
+    # MFU (the attention residuals stay unsaved either way)
 
     # RoPE is relative, so the shared-column serving engine's column
     # recentering preserves logits (see __call__ row_starts); absolute
@@ -552,7 +558,18 @@ class LlamaTransformer(nn.Module):
         if self.remat and cache is None:
             # training forward only (decode's tiny per-token steps don't
             # benefit and the cache threading would defeat the saving)
-            block_cls = nn.remat(LlamaBlock)
+            if self.remat_policy == "dots":
+                block_cls = nn.remat(
+                    LlamaBlock,
+                    policy=jax.checkpoint_policies
+                    .dots_with_no_batch_dims_saveable,
+                )
+            elif self.remat_policy is None:
+                block_cls = nn.remat(LlamaBlock)
+            else:
+                raise ValueError(
+                    f"unknown remat_policy {self.remat_policy!r}"
+                )
         for i in range(self.num_layers):
             if not paged and cache is not None:
                 # per-layer arrays (see KVCache docstring: a stacked carry
