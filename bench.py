@@ -1340,10 +1340,12 @@ def main() -> None:
     core = [
         ("headline", 0, sec_headline, True),
         ("ar_core", 180, sec_ar_core, ar_ok),
-        ("serving", 300, sec_serving, srv_ok),
-        ("train_ar", 200, sec_train_ar, not args.skip_train),
+        # needs are measured r5 section costs with cached remote
+        # compiles; serving ran in ~230 s (shared server, both patterns)
+        ("serving", 200, sec_serving, srv_ok),
+        ("dataplane", 60, sec_dataplane, True),
+        ("train_ar", 180, sec_train_ar, not args.skip_train),
         ("train_tok", 240, sec_train_tok, not args.skip_train),
-        ("dataplane", 90, sec_dataplane, True),
     ]
     extras = [
         ("serving_alts", 240, sec_serving_alts, srv_ok),
@@ -1368,6 +1370,13 @@ def main() -> None:
             result.setdefault("errors", {})[name] = (
                 f"{type(exc).__name__}: {exc}"[:200]
             )
+        # free the section's device buffers NOW: reference cycles (e.g.
+        # the serving engine's slot/closure graph) otherwise delay
+        # collection and the NEXT section OOMs on a full chip — the r5
+        # first capture lost every post-serving section that way
+        import gc
+
+        gc.collect()
         result.setdefault("section_s", {})[name] = round(
             time.monotonic() - t_sec, 1
         )
