@@ -229,6 +229,45 @@ def _rope(x: jax.Array, positions: jax.Array, theta: float = 10000.0) -> jax.Arr
     return jnp.concatenate([out1, out2], axis=-1).astype(x.dtype)
 
 
+def _flash_train_attention(
+    q: jax.Array, k: jax.Array, v: jax.Array, dtype: Any
+) -> jax.Array:
+    """Training-path causal attention via the Pallas TPU flash kernel.
+
+    q/k/v: (B, T, H, Dh) post-RoPE. The XLA einsum path materialises the
+    (B, H, T, T) f32 score/prob planes (~270 MB/layer at Llama-medium
+    b64/257) twice in the forward and again in the dots-policy backward
+    recompute; the flash kernel keeps them in VMEM tiles. Sequence is
+    padded to a 128 multiple — with ``causal=True`` real query rows
+    (< T) never read padded key columns, and padded rows' outputs are
+    sliced off (their incoming cotangents are therefore zero, so padding
+    contributes nothing to dq/dk/dv).
+    """
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        flash_attention,
+    )
+
+    b, t, h, dh = q.shape
+    block = 128
+    tp = -(-t // block) * block
+    pad = [(0, 0), (0, tp - t), (0, 0), (0, 0)]
+    qf = jnp.pad(q, pad).transpose(0, 2, 1, 3).astype(dtype)
+    kf = jnp.pad(k, pad).transpose(0, 2, 1, 3).astype(dtype)
+    vf = jnp.pad(v, pad).transpose(0, 2, 1, 3).astype(dtype)
+    sizes = BlockSizes(
+        block_q=block, block_k_major=block, block_k=block, block_b=1,
+        block_q_major_dkv=block, block_k_major_dkv=block,
+        block_k_dkv=block, block_q_dkv=block,
+        block_k_major_dq=block, block_k_dq=block, block_q_dq=block,
+    )
+    out = flash_attention(
+        qf, kf, vf, causal=True,
+        sm_scale=float(dh) ** -0.5, block_sizes=sizes,
+    )
+    return out.transpose(0, 2, 1, 3)[:, :t]
+
+
 class RMSNorm(nn.Module):
     eps: float = 1e-6  # HF LlamaConfig.rms_norm_eps default
     dtype: Any = jnp.float32
@@ -253,6 +292,7 @@ class LlamaBlock(nn.Module):
     quantize_mode: str = "auto"
     fused_qkv: bool = False  # merged qkv / gate+up projections (decode)
     paged_kernel: bool | None = None  # Pallas paged attention (None = auto)
+    flash: bool = False  # Pallas flash attention on the training forward
 
     def _dense(self, features: int, name: str):
         if self.quantize:
@@ -409,6 +449,11 @@ class LlamaBlock(nn.Module):
         else:
             k_att, v_att = k, v
             new_cache = None
+            if self.flash and t > 1:
+                attn = _flash_train_attention(q, k, v, self.dtype)
+                attn = attn.reshape(b, t, d)
+                x = x + self._dense(d, "o_proj")(attn)
+                return self._ffn(x), None
 
         scores = jnp.einsum(
             "bthd,bshd->bhts", q, k_att, preferred_element_type=jnp.float32
@@ -461,6 +506,14 @@ class LlamaTransformer(nn.Module):
     # only attention scores/softmax/elementwise recompute — the backward
     # re-runs ~4% of the block's FLOPs instead of ~33%, trading HBM for
     # MFU (the attention residuals stay unsaved either way)
+    flash: bool = False  # training-forward attention via the Pallas TPU
+    # flash kernel (fwd + custom-vjp bwd): avoids materialising the
+    # (B, H, T, T) f32 score/prob planes that the einsum path writes in
+    # the forward and again in the remat backward. Decode paths ignore it.
+    head_dtype: Any = None  # lm_head matmul operand dtype (None = f32,
+    # the reference's autocast-off numerics). bf16 runs the (B·T, D) x
+    # (D, V) head einsum on the MXU's bf16 path with f32 accumulation —
+    # ~4x the f32 matmul rate at Llama-medium's 17k-wide vocab head.
 
     # RoPE is relative, so the shared-column serving engine's column
     # recentering preserves logits (see __call__ row_starts); absolute
@@ -586,6 +639,7 @@ class LlamaTransformer(nn.Module):
                 quantize_mode=self.quantize_mode,
                 fused_qkv=self.fused_qkv,
                 paged_kernel=self.paged_kernel,
+                flash=self.flash,
                 name=f"layer{i}",
             )(x, positions, mask, stacked, i, offset)
             if stacked_new is not None:
@@ -637,10 +691,11 @@ class LlamaTransformer(nn.Module):
                 (self.hidden_size, self.vocabulary_size),
                 jnp.float32,
             )
+            hd = self.head_dtype or jnp.float32
             logits = jnp.einsum(
                 "btd,dv->btv",
-                x.astype(jnp.float32),
-                lm_head,
+                x.astype(hd),
+                lm_head.astype(hd),
                 preferred_element_type=jnp.float32,
             )
         if paged:
