@@ -514,6 +514,8 @@ class LlamaTransformer(nn.Module):
     # the reference's autocast-off numerics). bf16 runs the (B·T, D) x
     # (D, V) head einsum on the MXU's bf16 path with f32 accumulation —
     # ~4x the f32 matmul rate at Llama-medium's 17k-wide vocab head.
+    fused_ce_chunk: int = 2048  # vocab chunk of the logits-free CE path
+    # (the fused_ce_targets kwarg of __call__; see ops/fused_ce.py)
 
     # RoPE is relative, so the shared-column serving engine's column
     # recentering preserves logits (see __call__ row_starts); absolute
@@ -527,8 +529,14 @@ class LlamaTransformer(nn.Module):
         cache: KVCache | None = None,
         slot_positions: jax.Array | None = None,
         row_starts: jax.Array | None = None,
+        fused_ce_targets: jax.Array | None = None,
     ):
         """Training/prefill: tokens (B, T) → logits (B, T, V).
+
+        With ``fused_ce_targets`` (B, T) int (training only, no cache):
+        returns the SCALAR teacher-forced next-token CE computed by the
+        logits-free chunked head (``ops/fused_ce.py``) — position t
+        predicts targets[:, t+1]; the (B, T, V) logits never exist.
 
         With ``cache``: incremental decode — tokens are the NEW positions
         (cache.length gives the offset); returns (logits, new_cache).
@@ -654,6 +662,22 @@ class LlamaTransformer(nn.Module):
                         )
 
         x = RMSNorm(dtype=self.dtype, name="final_norm")(x)
+        if fused_ce_targets is not None:
+            assert cache is None and not self.quantize, (
+                "fused_ce_targets is a training-path loss (no cache, "
+                "fp head)"
+            )
+            from ...ops.fused_ce import fused_next_token_ce
+
+            lm_head = self.param(
+                "lm_head",
+                nn.initializers.zeros,  # reference zeroes the head
+                (self.hidden_size, self.vocabulary_size),
+                jnp.float32,
+            )
+            return fused_next_token_ce(
+                x, lm_head, fused_ce_targets, self.fused_ce_chunk
+            )
         if self.quantize:
             # INT8 lm_head: at 17k vocab x 1024 dim the f32 head is ~20% of
             # the remaining per-step HBM traffic once projections are INT8
