@@ -751,21 +751,26 @@ def train_step_bench(overhead: float, on_tpu_: bool) -> dict:
             # sync via a value fetch — block_until_ready is a no-op on the
             # dev tunnel until the process's first device->host fetch
             np.asarray(jax.tree_util.tree_leaves(warm)[0])
-            t0 = time.perf_counter()
-            for _ in range(steps):
-                state, metrics = step(state, batch_d)
-            np.asarray(jax.tree_util.tree_leaves(metrics)[0])
-            # also await a state leaf: the metrics fetch only awaits the
-            # loss dependency chain, not the last optimizer update
-            np.asarray(
-                jax.tree_util.tree_leaves(state)[0].ravel()[0]
-            )
-            dt = (time.perf_counter() - t0 - overhead) / steps
+            # median of 3 rounds + spread (see _ar_train_bench note)
+            rounds = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for _ in range(steps):
+                    state, metrics = step(state, batch_d)
+                np.asarray(jax.tree_util.tree_leaves(metrics)[0])
+                # also await a state leaf: the metrics fetch only awaits
+                # the loss dependency chain, not the last optimizer update
+                np.asarray(
+                    jax.tree_util.tree_leaves(state)[0].ravel()[0]
+                )
+                rounds.append((time.perf_counter() - t0 - overhead) / steps)
+            dt = sorted(rounds)[1]
             out[tag] = {
                 "img_per_s": round(batch / dt, 2),
                 "step_ms": round(dt * 1e3, 1),
                 "batch": batch,
                 "mfu": round(flops / dt / peak_flops, 3),
+                "spread": round((max(rounds) - min(rounds)) / dt, 3),
             }
         except Exception as exc:  # record, don't kill the artifact
             out[tag] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
@@ -801,14 +806,13 @@ def _ar_train_bench(
             vocabulary_size=NUM_CATEGORIES + 1 + AR_CODEBOOK,
             max_length=1 + AR_LONG,
             dtype=jnp.bfloat16,
-            remat=True,  # required: the no-remat backward's saved
-            # (B,H,T,T) score residuals OOM 16 GB HBM at b32
-            remat_policy="dots",  # save projection dots, recompute only
-            # attention/elementwise: measured 26.5k vs 24.7k tok/s b64
-            # over full remat (r5, work_dirs/exp/exp_ar_mfu_r5.py), and
-            # the reported mfu becomes HONEST — full remat's compiled
-            # flops include ~33% self-inflicted recompute (r4's 0.43 was
-            # on that inflated basis)
+            remat=True,  # full per-block remat — the shipped r5 recipe:
+            # with the fused logits-free CE the b64 step needs 5.6 GB
+            # temp (vs 10.5 GB for dense CE + dots policy), which is
+            # what lets batch 128 fit (7.5 GB; work_dirs/exp/
+            # exp_mem_r5.py) — and b128 measured the best stable
+            # tokens/s of every per-process variant (work_dirs/exp/
+            # exp_proc_r5.py: 24.7k vs base-dots-b64 ~19k)
             **cfg,
         )
         tokens = jnp.zeros((batch, 1 + AR_LONG), jnp.int32)
@@ -816,12 +820,16 @@ def _ar_train_bench(
         tx = optax.adamw(1e-4, weight_decay=5e-2)
         opt_state = tx.init(params)
 
-        # donating params+opt_state is what lets the dots-policy
-        # residuals (~8.5 GB at b64) fit: without it the update
-        # double-buffers ~4 GB of params/optimizer state
+        # donating params+opt_state avoids double-buffering ~4 GB of
+        # f32 params/optimizer state across the update
         @partial(jax.jit, donate_argnums=(0, 1))
         def step(params, opt_state, tokens):
             def loss_fn(p):
+                if full_size:
+                    # shipped ARAlgorithm default: fused logits-free CE
+                    return tr.apply(
+                        {"params": p}, tokens, fused_ce_targets=tokens
+                    )
                 return next_token_ce(tr.apply({"params": p}, tokens), tokens)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -847,30 +855,49 @@ def _ar_train_bench(
         # "timed" at 3 ms/step standalone vs the real 494 ms), so a fetch
         # both warms the path and guarantees the timed loop is synchronous
         float(warm_loss)
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            params, opt_state, loss = step(params, opt_state, tokens)
-        float(loss)
-        # await a params leaf too: the loss fetch does not await the last
-        # step's optimizer update (ADVICE r4)
-        np.asarray(jax.tree_util.tree_leaves(params)[0].ravel()[0])
-        dt = (time.perf_counter() - t0 - overhead) / steps
+        # median of 3 timed rounds + spread: the full-vocab train step's
+        # wall time through the dev tunnel drifts run-to-run (r5 measured
+        # the SAME compiled program at 621-2455 ms across sessions,
+        # work_dirs/exp/exp_bisect_r5.py) — a single round supports no
+        # cross-round comparison; the spread is recorded so readers can
+        # judge the number (int8-microbench methodology, VERDICT r4 #4)
+        rounds = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(steps):
+                params, opt_state, loss = step(params, opt_state, tokens)
+            float(loss)
+            # await a params leaf too: the loss fetch does not await the
+            # last step's optimizer update (ADVICE r4)
+            np.asarray(jax.tree_util.tree_leaves(params)[0].ravel()[0])
+            rounds.append((time.perf_counter() - t0 - overhead) / steps)
+        dt = sorted(rounds)[1]
+        # honest MFU: model flops = cost_analysis of the least-recompute
+        # lowering (fused CE + dots policy, 32.51 TFLOP at b64 —
+        # work_dirs/exp/exp_mem_r5.py), NOT this full-remat program's
+        # compiled flops (+24% self-inflicted recompute); both reported
+        model_flops = 32514.8e9 * (batch / 64) if full_size else flops
         return {
             "tokens_per_s": round(batch * (1 + AR_LONG) / dt, 1),
             "img_per_s": round(batch / dt, 2),
             "step_ms": round(dt * 1e3, 1),
             "batch": batch,
-            "mfu": round(flops / dt / peak_flops, 3),
+            "mfu": round(model_flops / dt / peak_flops, 3),
+            "mfu_compiled": round(flops / dt / peak_flops, 3),
+            "spread": round((max(rounds) - min(rounds)) / dt, 3),
         }
     except Exception as exc:
         if batch > 32:
-            # any recorded number beats an error row: retry once at the
-            # smaller reference-fraction batch before giving up
+            # any recorded number beats an error row: retry at half the
+            # batch before giving up (128 -> 64 -> 32)
             out = _ar_train_bench(
-                overhead, peak_flops, 32, steps, full_size
+                overhead, peak_flops, max(batch // 2, 32), steps, full_size
             )
             if "error" not in out:
-                out["note"] = f"b{batch} failed ({type(exc).__name__}); b32 fallback"
+                out.setdefault(
+                    "note", f"b{batch} failed ({type(exc).__name__}); "
+                    f"b{max(batch // 2, 32)} fallback"
+                )
                 return out
         return {"error": f"{type(exc).__name__}: {exc}"[:200]}
 
@@ -1263,10 +1290,10 @@ def main() -> None:
 
     def sec_train_ar() -> None:
         out = _ar_train_bench(
-            overhead, peak_flops, batch=64 if tpu else 2,
+            overhead, peak_flops, batch=128 if tpu else 2,
             steps=8 if tpu else 2, full_size=tpu,
         )
-        result.setdefault("train", {})["ar_c2i_b64"] = out
+        result.setdefault("train", {})["ar_c2i"] = out
 
     def sec_train_tok() -> None:
         result.setdefault("train", {}).update(
@@ -1495,6 +1522,7 @@ def _compact(r: dict) -> dict:
                     "ms": sec.get("step_ms"),
                     "mfu": sec.get("mfu"),
                     "b": sec.get("batch"),
+                    "spread": sec.get("spread"),
                     **(
                         {"tok_s": sec["tokens_per_s"]}
                         if "tokens_per_s" in sec

@@ -34,6 +34,12 @@ transformer = _kwargs_.get(
         num_layers=24,
         num_heads=16,
         ffn_dim=2816,
+        # the measured single-chip training recipe (r5,
+        # work_dirs/exp/exp_proc_r5.py): bf16 compute + per-block remat;
+        # with the algorithm's fused CE the b64 step needs 5.6 GB and
+        # b128 fits a 16 GB chip (work_dirs/exp/exp_mem_r5.py)
+        dtype="bfloat16",
+        remat=True,
     ),
 )
 

@@ -10,7 +10,11 @@ _SIZES = dict(
 runner = dict(
     algorithm=dict(
         transformer=dict(
-            _delete_=True, type="LlamaTransformer", **_SIZES[size]
+            _delete_=True,
+            type="LlamaTransformer",
+            dtype="bfloat16",
+            remat=True,
+            **_SIZES[size],
         ),
     ),
 )

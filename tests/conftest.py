@@ -10,9 +10,13 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_collective_timeout" not in flags:
+    # XLA:CPU aborts the process when a virtual device's thread arrives
+    # >40 s late at a collective rendezvous; on a 2-core box running an
+    # 8-device mesh a straggling round is routine, not a deadlock
+    flags = (flags + " --xla_cpu_collective_timeout_seconds=600").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 

@@ -32,6 +32,18 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+# XLA:CPU in-process collectives abort the whole process when one virtual
+# device's thread arrives >40 s late at a rendezvous (rendezvous.cc
+# "Termination timeout ... Exiting to ensure a consistent program state").
+# With 8 virtual devices time-sliced on a 2-core box a straggling round is
+# routine, not a deadlock — raise the stall/terminate timeouts before any
+# jax import (r5: three anchor runs died at the default 20 s/40 s).
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_cpu_collective_timeout" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_cpu_collective_timeout_seconds=600"
+    ).strip()
+
 from vector_quantization_tpu.cli.common import honor_env_platform  # noqa: E402
 
 honor_env_platform()
@@ -208,6 +220,11 @@ def main(argv=None) -> int:
     p.add_argument(
         "--work-dir", default=os.path.join(REPO, "work_dirs", "published")
     )
+    p.add_argument(
+        "--families", nargs="*", default=None,
+        help="subset of anchor families to run (default: all); other "
+        "recorded families are left untouched by --record",
+    )
     args = p.parse_args(argv)
     if not (args.record or args.check):
         p.error("pass --record and/or --check")
@@ -218,12 +235,18 @@ def main(argv=None) -> int:
     init_distributed()
     os.makedirs(args.work_dir, exist_ok=True)
 
-    measured = {
-        "synthetic_taming_vqgan": synthetic_golden(args.work_dir),
-        "self_trained_smoke": self_trained_smoke(args.work_dir),
-        "self_trained_2k": self_trained_2k(args.work_dir),
-        "self_trained_ar": self_trained_ar(args.work_dir),
+    runners = {
+        "synthetic_taming_vqgan": synthetic_golden,
+        "self_trained_smoke": self_trained_smoke,
+        "self_trained_2k": self_trained_2k,
+        "self_trained_ar": self_trained_ar,
     }
+    if args.families:
+        unknown = set(args.families) - set(runners)
+        if unknown:
+            p.error(f"unknown families: {sorted(unknown)}")
+        runners = {k: v for k, v in runners.items() if k in args.families}
+    measured = {k: fn(args.work_dir) for k, fn in runners.items()}
     print(json.dumps(measured, indent=2))
 
     baseline_path = os.path.join(REPO, "BASELINE.json")
@@ -275,8 +298,13 @@ def main(argv=None) -> int:
         with open(baseline_path, "w") as f:
             json.dump(baseline, f, indent=1)
         artifact = os.path.join(args.work_dir, "published_metrics.json")
+        merged = {}
+        if os.path.exists(artifact):  # --families runs a subset: keep the
+            with open(artifact) as f:  # other families' recorded values
+                merged = json.load(f)
+        merged.update(measured)
         with open(artifact, "w") as f:
-            json.dump(measured, f, indent=2)
+            json.dump(merged, f, indent=2)
         print(f"recorded published metrics → BASELINE.json + {artifact}")
     return rc
 

@@ -51,12 +51,24 @@ class ARAlgorithm(Algorithm):
         sampler: Mapping[str, Any] | None = None,
         image_size: int = 256,
         eval_generate: bool = False,
+        fused_ce: bool = True,
         **kwargs: Any,
     ) -> None:
         # eval_generate: run full class-conditional generation during eval
         # (reference X2I.forward generates in validation for visuals/FID,
         # x2i.py:79-126); costly, off by default
         self.eval_generate = eval_generate
+        # fused_ce: train with the logits-free chunked CE
+        # (ops/fused_ce.py) when the transformer supports it — at
+        # Llama-medium b64/257 the dense f32 head+CE's (B·T, V) logits
+        # are ~3.3 GB of the 16 GB chip; the fused loss removes them,
+        # which is what lets batch 128 fit alongside full remat (r5,
+        # work_dirs/exp/exp_mem_r5.py: 5.6 GB temp vs 10.5 GB dense).
+        # Numerics: bf16 head matmul with f32 accumulation (vs dense
+        # f32) — gradients agree to bf16 cotangent precision
+        # (tests/test_fused_ce.py); the AR regression anchor is recorded
+        # with this default.
+        self.fused_ce = fused_ce
         self.ir_model = ModelRegistry.build_or_return(ir)
         codebook_size = self.ir_model.quantizer.codebook_size
         self.num_categories = num_categories
@@ -146,7 +158,17 @@ class ARAlgorithm(Algorithm):
         rng_drop, _ = jax.random.split(rng)
         tokens = self._tokens(state, batch, rng_drop, train=True)
 
+        use_fused = (
+            self.fused_ce
+            and getattr(self.model, "supports_fused_ce", False)
+            and not getattr(self.model, "quantize", False)
+        )
+
         def loss_fn(params):
+            if use_fused:
+                return self.model.apply(
+                    {"params": params}, tokens, fused_ce_targets=tokens
+                )
             logits = self.model.apply({"params": params}, tokens)
             return next_token_ce(logits, tokens)
 

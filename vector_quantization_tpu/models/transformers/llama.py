@@ -521,6 +521,9 @@ class LlamaTransformer(nn.Module):
     # recentering preserves logits (see __call__ row_starts); absolute
     # learned-position models (GPT-2) must use the per-row scatter path
     supports_shared_column = True
+    # the fused_ce_targets training loss (ops/fused_ce.py) is wired into
+    # __call__; ARAlgorithm checks this before using it (GPT-2 lacks it)
+    supports_fused_ce = True
 
     @nn.compact
     def __call__(
@@ -675,8 +678,16 @@ class LlamaTransformer(nn.Module):
                 (self.hidden_size, self.vocabulary_size),
                 jnp.float32,
             )
+            # clamp the chunk to the vocab's 128-multiple: a tiny vocab
+            # (e.g. the 75-token regression anchor) would otherwise pad
+            # its single chunk to the full 2048 lanes — 27x wasted head
+            # work per step
+            chunk = min(
+                self.fused_ce_chunk,
+                -(-self.vocabulary_size // 128) * 128,
+            )
             return fused_next_token_ce(
-                x, lm_head, fused_ce_targets, self.fused_ce_chunk
+                x, lm_head, fused_ce_targets, chunk
             )
         if self.quantize:
             # INT8 lm_head: at 17k vocab x 1024 dim the f32 head is ~20% of
